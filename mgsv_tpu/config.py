@@ -1,0 +1,205 @@
+"""Typed configuration for the MGSV-TPU framework.
+
+One config object replaces the reference's ~100 argparse flags duplicated
+across train-MaDe.py:27-173 and test-MaDe.py:27-175.  Canonical defaults are
+the *paper configuration* from scripts/train_kuai_all_feature.sh (which
+differs from the reference's argparse defaults in several places — see
+SURVEY.md §5 "Config/flag system"): stride 2.5, filter 10, max_v_frames 50,
+max_m_duration 240, dim 256, temporal depth 1, vmr_fusion XA-music,
+vmr_loss dual_single_loss_fuse, mml_fusion concat, DETR 2 enc / 6 dec,
+decoder self-attention off, moment query "video", 1 moment query,
+contrastive-align on, audio shortcut off, temperature 3e-2, lr 3e-4 for both
+groups, retrieval/localization weights 1.0/1.0, batch 512, 100 epochs,
+warmup 0.02.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / input-geometry config (reference: train-MaDe.py:35-50,146)."""
+
+    train_csv: str = "dataset/MGSV-EC/train_data.csv"
+    val_csv: str = "dataset/MGSV-EC/val_data.csv"
+    test_csv: str = "dataset/MGSV-EC/test_data.csv"
+    feature_root: str = "features/Kuai_feature"
+
+    image_resolution: int = 224
+    max_v_frames: int = 50           # ≤50 frames at 1 fps (script: --max_v_frames 50)
+    max_m_duration: float = 240.0    # seconds
+    stride: float = 2.5              # snippet hop (s); feature dir ast_feature2p5
+    filter_sec: float = 10.0         # snippet window (s) (script FILTER=10)
+    padding_sec: float = 0.0
+    mel_bins: int = 128
+    target_length: int = 1024        # AST spectrogram frames per snippet
+    sample_rate: int = 16000
+
+    vit_dim: int = 512               # CLIP ViT-B/32 embed dim (model_Base.py:287)
+    ast_dim: int = 768               # AST embed dim (model_Base.py:275)
+
+    @property
+    def max_snippet_num(self) -> int:
+        # train-MaDe.py:146  max_snippet_num = max_m_duration / stride = 96
+        return int(self.max_m_duration / self.stride)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """MaDe model architecture (reference: model_Base.py / model_Uni.py)."""
+
+    dim_input: int = 256             # shared hidden dim (== hidden_dim == detr_hidden_dim)
+
+    # Temporal ("enhancement") transformers — model_Base.py:64-91, 312-355
+    temporal_depth: int = 1
+    temporal_heads: int = 8
+    temporal_mlp_dim: int = 1024     # encoder_attention_hidden_dim (model_Base.py:294)
+    temporal_dropout: float = 0.8    # r_enc (model_Base.py:296)
+    video_pe_len: int = 250          # video_attention_seqlen buffer (train-MaDe.py:61)
+    audio_pe_len: int = 300          # audio_attention_seqlen (model_Base.py:293)
+    with_cls_token: bool = False
+    with_act_after_proj: bool = False
+    transformer_is_share: bool = False
+    agg_module: str = "transf"       # "transf" | "mlp"
+
+    # Matching / X-Pool — modules/transformer.py
+    vmr_fusion: str = "XA-music"     # "NO" | "XA-music" | "XA-video" | "XA-music-video"
+    fusion_mask: bool = True
+    xpool_dropout: float = 0.3       # modules/transformer.py:133
+    temperature_init_value: float = 3e-2  # script TEMP=3e-2 (logit_scale init, model_Uni.py:29)
+
+    # Moment-detection fusion + DETR — model_Uni.py:206-227, music_detr/transformer.py:325-335
+    mml_fusion: str = "concat"       # "concat" | "CA"
+    mml_localization: str = "detr"   # "detr" | "regression"
+    detr_enc_layers: int = 2
+    detr_dec_layers: int = 6
+    detr_heads: int = 8
+    detr_ffn_dim: int = 1024
+    detr_dropout: float = 0.1
+    detr_pre_norm: bool = False
+    decoder_self_attn: bool = False  # decoder_SA=0 (valid since num_moment_queries=1)
+    num_moment_queries: int = 1
+    moment_query_type: str = "video" # "video" | "music" | "xpool" | "zero"
+    predict_center: bool = False
+    span_loss_type: str = "l1"
+
+    # Heads — model_Uni.py:50-62
+    contrastive_dim: int = 256
+    audio_short_cut: bool = False
+    moment_loss: bool = False
+
+    # CA-fusion cross transformer (mml_fusion == "CA") — model_Uni.py:32-43
+    ca_heads: int = 8
+    ca_dim_head: int = 128
+    ca_mlp_dim: int = 1024
+    ca_dropout: float = 0.8
+
+    # Numerics
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" (matmul/activation dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights & settings (model_Uni.py / music_detr/loss_detr.py / matcher.py)."""
+
+    vmr_loss: str = "dual_single_loss_fuse"
+    dual_single_loss_weight: float = 1.0
+    ignore_same_music: int = 1       # 1 => plain InfoNCE (train-MaDe.py:124; loss.py:90)
+
+    l1_loss: bool = True
+    aux_loss: bool = True
+    contrastive_align_loss: bool = True
+
+    # SetCriterion weight_dict (loss_detr.py:36-40)
+    weight_span: float = 4.0
+    weight_giou: float = 1.0
+    weight_label: float = 0.8
+    weight_contrastive_align: float = 0.2
+
+    # HungarianMatcher costs (matcher.py:95-103)
+    cost_span: float = 10.0
+    cost_giou: float = 1.0
+    cost_class: float = 4.0
+
+    fb_label: str = "01"             # foreground=0, background=1 (matcher.py:33)
+    eos_coef: float = 0.1            # background CE down-weight (model_Uni.py:65)
+    align_temperature: float = 0.07  # contrastive-align NCE temperature (model_Uni.py:65)
+
+    ret_loss_weight: float = 1.0     # script RET_WEIGHT
+    loc_loss_weight: float = 1.0     # script LOC_WEIGHT
+
+    gt_moment_num: int = 1
+    toph_moment: int = 1
+
+    @property
+    def foreground_label(self) -> int:
+        return 0 if self.fb_label == "01" else 1
+
+    @property
+    def background_label(self) -> int:
+        return 1 if self.fb_label == "01" else 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / loop config (train-MaDe.py:252-286, script)."""
+
+    seed: int = 42
+    epochs: int = 100
+    batch_size_train: int = 512
+    batch_size_val: int = 40
+    matching_lr: float = 3e-4
+    detection_lr: float = 3e-4
+    scheduler: str = "warmupcosine"  # warmupcosine|warmuplinear|warmupconstant|constant
+    warmup_rate: float = 0.02
+    max_grad_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    early_stop_min_epochs: int = 60  # train-MaDe.py:735-736
+    early_stop_patience: int = 20
+    output_dir: str = "runs"
+    name: str = "made"
+    log_every: int = 10              # num_display
+    save_checkpoints: bool = True
+
+    # Mesh axes: data parallel × model parallel. Defaults to pure DP.
+    mesh_shape: tuple = (1, 1)       # (dp, mp); (-1, 1) = all devices on dp
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_overrides(overrides: Optional[dict] = None) -> "Config":
+        """Build a Config from a flat dict of `section.key` overrides."""
+        cfg = Config()
+        if not overrides:
+            return cfg
+        sections = {"data": {}, "model": {}, "loss": {}, "train": {}}
+        for key, value in overrides.items():
+            section, _, field = key.partition(".")
+            if section not in sections or not field:
+                raise KeyError(f"Unknown config override: {key}")
+            sections[section][field] = value
+        return Config(
+            data=dataclasses.replace(cfg.data, **sections["data"]),
+            model=dataclasses.replace(cfg.model, **sections["model"]),
+            loss=dataclasses.replace(cfg.loss, **sections["loss"]),
+            train=dataclasses.replace(cfg.train, **sections["train"]),
+        )
