@@ -1,0 +1,175 @@
+"""DETR-style transformer for music-moment detection.
+
+Re-derivation of music_detr/transformer.py: a post-norm (default) encoder
+over the fused video+music token sequence and a decoder whose every layer's
+output is collected (return_intermediate), with positional embeddings added
+inside attention.  The decoder layer *skips self-attention* when
+`self_attn=False` (decoder_SA=0, valid since #queries=1 —
+transformer.py:281-290).
+
+Differences by design (TPU-first):
+  * batch-major [B, L, D] layout throughout (the reference permutes to
+    torch's [L, B, D] seq-major layout, transformer.py:65-66);
+  * one masked-attention primitive shared with the rest of the framework;
+  * the stacked per-layer decoder states come back as a single [layers, B,
+    Q, D] array ready for vmapped head/criterion application.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mgsv_tpu.models.layers import MultiHeadAttention
+
+_XAVIER = nn.initializers.xavier_uniform()  # transformer.py:46-49 _reset_parameters
+
+
+class DetrEncoderLayer(nn.Module):
+    """Post-norm / pre-norm encoder layer — transformer.py:150-219."""
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    dropout: float
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, src, mask, pos, deterministic: bool = True):
+        attn = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
+                                  kernel_init=_XAVIER, name="self_attn")
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        def ffn(x):
+            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, name="linear1")(x)
+            h = drop(nn.relu(h))
+            h = nn.Dense(self.dim, kernel_init=_XAVIER, name="linear2")(h)
+            return h
+
+        norm1 = nn.LayerNorm(name="norm1")
+        norm2 = nn.LayerNorm(name="norm2")
+        if self.pre_norm:                                  # forward_pre :170-189
+            src2 = norm1(src)
+            qk = src2 + pos
+            src = src + drop(attn(qk, qk, src2, key_mask=mask, deterministic=deterministic))
+            src2 = norm2(src)
+            src = src + drop(ffn(src2))
+        else:                                              # forward_post :191-210
+            qk = src + pos
+            src = src + drop(attn(qk, qk, src, key_mask=mask, deterministic=deterministic))
+            src = norm1(src)
+            src = src + drop(ffn(src))
+            src = norm2(src)
+        return src
+
+
+class DetrDecoderLayer(nn.Module):
+    """Decoder layer, optional self-attention — transformer.py:224-321."""
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    dropout: float
+    pre_norm: bool = False
+    self_attn: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, memory, mem_mask, pos, query_pos, deterministic: bool = True):
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        cross = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
+                                   kernel_init=_XAVIER, name="multihead_attn")
+
+        def ffn(x):
+            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, name="linear1")(x)
+            h = drop(nn.relu(h))
+            return nn.Dense(self.dim, kernel_init=_XAVIER, name="linear2")(h)
+
+        if self.pre_norm:
+            # forward_pre (:250-271) — always includes self-attention.
+            sa = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
+                                    kernel_init=_XAVIER, name="self_attn")
+            tgt2 = nn.LayerNorm(name="norm1")(tgt)
+            qk = tgt2 + query_pos
+            tgt = tgt + drop(sa(qk, qk, tgt2, deterministic=deterministic))
+            tgt2 = nn.LayerNorm(name="norm2")(tgt)
+            tgt = tgt + drop(cross(tgt2 + query_pos, memory + pos, memory,
+                                   key_mask=mem_mask, deterministic=deterministic))
+            tgt2 = nn.LayerNorm(name="norm3")(tgt)
+            tgt = tgt + drop(ffn(tgt2))
+            return tgt
+
+        # forward_post (:273-307); SA skipped when decoder_SA=0 (:281-290).
+        if self.self_attn:
+            sa = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
+                                    kernel_init=_XAVIER, name="self_attn")
+            qk = tgt + query_pos
+            tgt = tgt + drop(sa(qk, qk, tgt, deterministic=deterministic))
+            tgt = nn.LayerNorm(name="norm1")(tgt)
+
+        tgt2 = cross(tgt + query_pos, memory + pos, memory,
+                     key_mask=mem_mask, deterministic=deterministic)
+        tgt = tgt + drop(tgt2)
+        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = tgt + drop(ffn(tgt))
+        tgt = nn.LayerNorm(name="norm3")(tgt)
+        return tgt
+
+
+class DetrTransformer(nn.Module):
+    """Encoder + intermediate-returning decoder — transformer.py:22-81.
+
+    __call__(src [B, L, D], mask [B, L] 1=valid, pos [B, L, D],
+             query_embed [Q, D], target [B, Q, D] | None)
+      -> (hidden_states [num_dec_layers, B, Q, D], memory [B, L, D])
+    """
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    enc_layers: int
+    dec_layers: int
+    dropout: float = 0.1
+    pre_norm: bool = False
+    decoder_self_attn: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        mask: jnp.ndarray,
+        pos: jnp.ndarray,
+        query_embed: jnp.ndarray,
+        target: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        bs = src.shape[0]
+
+        memory = src
+        for i in range(self.enc_layers):
+            memory = DetrEncoderLayer(
+                self.dim, self.heads, self.ffn_dim, self.dropout,
+                pre_norm=self.pre_norm, name=f"enc_{i}",
+            )(memory, mask, pos, deterministic=deterministic)
+        # No final encoder LN in the post-norm default (transformer.py:34).
+        if self.pre_norm and self.enc_layers > 0:
+            memory = nn.LayerNorm(name="encoder_norm")(memory)
+
+        query_pos = jnp.broadcast_to(query_embed[None], (bs,) + query_embed.shape)
+        tgt = jnp.zeros_like(query_pos) if target is None else target
+
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        intermediate = []
+        for i in range(self.dec_layers):
+            tgt = DetrDecoderLayer(
+                self.dim, self.heads, self.ffn_dim, self.dropout,
+                pre_norm=self.pre_norm, self_attn=self.decoder_self_attn,
+                name=f"dec_{i}",
+            )(tgt, memory, mask, pos, query_pos, deterministic=deterministic)
+            # return_intermediate: each layer's output through the shared
+            # final norm (transformer.py:135-141).
+            intermediate.append(decoder_norm(tgt))
+
+        hidden_states = jnp.stack(intermediate, axis=0)     # [layers, B, Q, D]
+        return hidden_states, memory

@@ -155,6 +155,13 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """F.normalize(p=2) equivalent (clamped denominator, torch uses 1e-12)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.clip(norm, min=eps)
+    """F.normalize(p=2) equivalent (denominator clamped to eps like torch).
+
+    Written as sqrt(max(sum_sq, eps^2)) so the gradient at exactly-zero
+    vectors is 0 instead of NaN (jnp.linalg.norm has an undefined gradient
+    at 0; zero vectors DO occur — e.g. padded frame tokens through a
+    zero-bias projection).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / norm

@@ -1,0 +1,129 @@
+"""X-Pool cross-attention: video-conditioned pooling of music snippets.
+
+Re-derivation of Transformer_XA + MultiHeadedAttention_mask
+(modules/transformer.py:73-180): single-head cross-attention where every
+video embedding queries every music track's snippet sequence, producing one
+pooled music embedding per (music, video) pair:
+
+    q = q_proj(LN1(video))            [V, D]
+    k, v = k/v_proj(LN1(music_segs))  [M, S, D]
+    attn[m, v, s] = softmax_s(q[v] . k[m, s] / sqrt(D)), snippet mask -> -inf
+    ctx[m, v] = out_proj(sum_s attn * v[m, s])
+    out = LN3(LN2(ctx) + dropout(linear_proj(LN2(ctx))))   # NO residual
+                                                           # around attention
+                                                           # (transformer.py:173-174)
+
+All projection weights are identity-initialized with zero bias
+(Transformer_XA._init_parameters, transformer.py:148-154) — load-bearing
+for training dynamics, preserved here.
+
+The O(M*V*D) pooled tensor is fine at train batch sizes; corpus-scale
+evaluation uses the blocked formulation in mgsv_tpu.eval.similarity
+instead of the reference's fall-back-to-CPU (train-MaDe.py:588-591).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mgsv_tpu.models.layers import BIG_NEG, l2_normalize
+
+
+class XPoolAttention(nn.Module):
+    """The pooled cross-attention core.  modules/transformer.py:73-123."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jnp.ndarray,                   # [V, D]
+        music_segs: jnp.ndarray,              # [M, S, D]
+        seg_mask: Optional[jnp.ndarray],      # [M, S] 1 = valid, or None
+    ) -> jnp.ndarray:
+        ident = lambda name: nn.Dense(
+            self.dim,
+            kernel_init=_identity_init,
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+        q = ident("q_proj")(video)            # [V, D]
+        k = ident("k_proj")(music_segs)       # [M, S, D]
+        v = ident("v_proj")(music_segs)       # [M, S, D]
+
+        logits = jnp.einsum("vd,msd->mvs", q, k) / jnp.sqrt(jnp.float32(self.dim))
+        if seg_mask is not None:
+            logits = jnp.where(seg_mask[:, None, :] != 0, logits, BIG_NEG)
+        attn = nn.softmax(logits, axis=-1)    # [M, V, S]
+        ctx = jnp.einsum("mvs,msd->mvd", attn, v)
+        return ident("out_proj")(ctx)         # [M, V, D]
+
+
+def _identity_init(key, shape, dtype=jnp.float32):
+    del key
+    assert len(shape) == 2 and shape[0] == shape[1], shape
+    return jnp.eye(shape[0], dtype=dtype)
+
+
+class XPoolTransformer(nn.Module):
+    """Transformer_XA wrapper.  modules/transformer.py:128-180."""
+
+    dim: int
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jnp.ndarray,                   # [V, D]
+        music_segs: jnp.ndarray,              # [M, S, D]
+        seg_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        ln1 = nn.LayerNorm(name="layer_norm1")
+        video = ln1(video)
+        music_segs = ln1(music_segs)          # shared LN1, transformer.py:164-165
+
+        attn_out = XPoolAttention(self.dim, name="cross_attn")(video, music_segs, seg_mask)
+        attn_out = nn.LayerNorm(name="layer_norm2")(attn_out)
+
+        linear_out = nn.Dense(
+            self.dim, kernel_init=_identity_init, bias_init=nn.initializers.zeros,
+            name="linear_proj",
+        )(attn_out)
+        linear_out = nn.Dropout(self.dropout)(linear_out, deterministic=deterministic)
+        out = attn_out + linear_out
+        return nn.LayerNorm(name="layer_norm3")(out)   # [M, V, D]
+
+
+def sim_matrix_music_pooling(video: jnp.ndarray, pooled: jnp.ndarray) -> jnp.ndarray:
+    """Pooled similarity (modules/metrics.py:10-24).
+
+    video: [V, D]; pooled: [M, V, D] -> sims [V, M]:
+    sims[v, m] = <video_hat[v], pooled_hat[m, v]>.
+    """
+    video = l2_normalize(video)
+    pooled = l2_normalize(pooled)
+    return jnp.einsum("vd,mvd->vm", video, pooled)
+
+
+def sim_matrix_video_pooling(video_pooled: jnp.ndarray, music: jnp.ndarray) -> jnp.ndarray:
+    """modules/metrics.py:26-41.  video_pooled: [V, M, D]; music: [M, D] -> [V, M]."""
+    video_pooled = l2_normalize(video_pooled)
+    music = l2_normalize(music)
+    return jnp.einsum("md,vmd->vm", music, video_pooled)
+
+
+def sim_matrix_both_pooling(video_pooled: jnp.ndarray, music_pooled: jnp.ndarray) -> jnp.ndarray:
+    """modules/metrics.py:43-57.  video_pooled: [V, M, D]; music_pooled: [M, V, D] -> [V, M].
+
+    sims[v, m] = mean_k <video_pooled_hat[v, k], music_pooled_hat[m, k... ]>
+    following the reference's bmm over the middle axis then mean.
+    """
+    video_pooled = l2_normalize(video_pooled)
+    music_pooled = l2_normalize(music_pooled)
+    # reference: bmm([V, M, D], permute(music_pooled, 'm v d -> v d m')) -> [V, M, M], mean over axis 1
+    sims = jnp.einsum("vkd,mvd->vkm", video_pooled, music_pooled)
+    return sims.mean(axis=1)

@@ -29,8 +29,8 @@ def cosine_sim_matrix(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-12) -> jnp
 
     cal_distance(..., "COS") — modules/loss.py:52-56.
     """
-    x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=eps)
-    y = y / jnp.clip(jnp.linalg.norm(y, axis=-1, keepdims=True), min=eps)
+    x = x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps * eps))
+    y = y / jnp.sqrt(jnp.maximum(jnp.sum(y * y, -1, keepdims=True), eps * eps))
     return x @ y.T
 
 
