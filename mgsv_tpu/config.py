@@ -81,7 +81,13 @@ class ModelConfig:
     detr_ffn_dim: int = 1024
     detr_dropout: float = 0.1
     detr_pre_norm: bool = False
-    decoder_self_attn: bool = False  # decoder_SA=0 (valid since num_moment_queries=1)
+    # NOTE: the reference's decoder_SA=0 flag is *inert*: build_transformer
+    # (music_detr/transformer.py:325-335) never forwards `args`, so the
+    # skip-branch guard `self.args is not None and self.args.decoder_SA == 0`
+    # (transformer.py:281) is always False and decoder self-attention RUNS.
+    # True here reproduces the reference's actual behavior; False gives the
+    # skip the flag intended.
+    decoder_self_attn: bool = True
     num_moment_queries: int = 1
     moment_query_type: str = "video" # "video" | "music" | "xpool" | "zero"
     predict_center: bool = False
