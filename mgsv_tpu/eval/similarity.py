@@ -1,0 +1,126 @@
+"""Corpus-scale similarity computation, on-device and blocked/sharded.
+
+The reference computes the eval-time X-Pool pooled similarity by moving the
+pooling module to CPU and materializing the full [N_music, N_video, dim]
+tensor (train-MaDe.py:588-591) — 4 GB at N=2000 and quadratic beyond.  Here
+the same math runs on TPU in music-blocks: each block produces its [N_video,
+block] similarity slice directly, so peak memory is O(block * N_video * dim)
+and the full pooled tensor never exists.
+
+Two drivers:
+  * `xpool_similarity_blocked` — single-device, jit-compiled per-block scan;
+  * `xpool_similarity_sharded` — multi-device `shard_map` over the music
+    axis of a mesh; each device scans its shard, results gathered on the
+    batch axis (the pod-scale retrieval path, BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mgsv_tpu.models.xpool import sim_matrix_music_pooling
+
+
+def _block_sim(apply_fn: Callable, params, video_embs, seg_block, mask_block):
+    """Pooled similarity of one music block vs all videos -> [V, block]."""
+    pooled = apply_fn(params, video_embs, seg_block, mask_block,
+                      deterministic=True)              # [block, V, D]
+    return sim_matrix_music_pooling(video_embs, pooled)  # [V, block]
+
+
+def xpool_similarity_blocked(
+    apply_fn: Callable,
+    params,
+    video_embs: jnp.ndarray,     # [V, D]
+    seg_tokens: jnp.ndarray,     # [M, S, D]
+    seg_mask: Optional[jnp.ndarray],  # [M, S] or None
+    block_size: int = 256,
+) -> jnp.ndarray:
+    """[V, M] pooled similarity without materializing [M, V, D].
+
+    M is padded up to a block multiple internally; callers get exactly
+    [V, M] back.
+    """
+    v, _ = video_embs.shape
+    m, s, d = seg_tokens.shape
+    pad = (-m) % block_size
+    if pad:
+        seg_tokens = jnp.concatenate(
+            [seg_tokens, jnp.zeros((pad, s, d), seg_tokens.dtype)], axis=0)
+        if seg_mask is not None:
+            # Padded tracks get a single "valid" snippet so softmax stays
+            # finite; their sims are sliced away below.
+            pad_mask = jnp.zeros((pad, s), seg_mask.dtype).at[:, 0].set(1)
+            seg_mask = jnp.concatenate([seg_mask, pad_mask], axis=0)
+    num_blocks = seg_tokens.shape[0] // block_size
+
+    seg_blocks = seg_tokens.reshape(num_blocks, block_size, s, d)
+    if seg_mask is not None:
+        mask_blocks = seg_mask.reshape(num_blocks, block_size, s)
+    else:
+        mask_blocks = jnp.ones((num_blocks, block_size, s), seg_tokens.dtype)
+
+    @jax.jit
+    def scan_blocks(params, video_embs, seg_blocks, mask_blocks):
+        def body(carry, blk):
+            seg_b, mask_b = blk
+            sims = _block_sim(apply_fn, params, video_embs, seg_b,
+                              mask_b if seg_mask is not None else None)
+            return carry, sims
+        _, sims = jax.lax.scan(body, None, (seg_blocks, mask_blocks))
+        # sims: [num_blocks, V, block] -> [V, num_blocks * block]
+        return jnp.moveaxis(sims, 0, 1).reshape(video_embs.shape[0], -1)
+
+    full = scan_blocks(params, video_embs, seg_blocks, mask_blocks)
+    return full[:, :m]
+
+
+def xpool_similarity_sharded(
+    apply_fn: Callable,
+    params,
+    video_embs: jnp.ndarray,
+    seg_tokens: jnp.ndarray,
+    seg_mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "dp",
+    block_size: int = 256,
+) -> jnp.ndarray:
+    """Pooled similarity with the music axis sharded over `axis` of `mesh`.
+
+    Each device runs the blocked scan over its music shard against the
+    replicated video embeddings; the [V, M] result comes back sharded on
+    its last axis (ICI all-gather happens only if the caller requests a
+    replicated layout).  M must divide evenly by the axis size.
+    """
+    n_dev = mesh.shape[axis]
+    m = seg_tokens.shape[0]
+    assert m % n_dev == 0, f"music count {m} not divisible by mesh axis {n_dev}"
+
+    shard_map = jax.shard_map
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    def sharded(params, video_embs, seg_shard, mask_shard):
+        return xpool_similarity_blocked(
+            apply_fn, params, video_embs, seg_shard, mask_shard,
+            block_size=min(block_size, seg_shard.shape[0]))
+
+    video_embs = jax.device_put(video_embs, NamedSharding(mesh, P()))
+    return sharded(params, video_embs, seg_tokens, seg_mask)
+
+
+def dual_similarity(video_embs: jnp.ndarray, music_embs: jnp.ndarray) -> jnp.ndarray:
+    """Global-embedding cosine similarity [V, M] (calc_similarity,
+    utils/util_test.py:10-29 — embeddings are already L2-normalized)."""
+    from mgsv_tpu.ops.losses import cosine_sim_matrix
+
+    return cosine_sim_matrix(video_embs, music_embs)

@@ -3,15 +3,27 @@
 The reference has no fake backend for multi-device testing (SURVEY.md §4);
 the standard JAX substitute is a host-platform device-count simulation so
 sharding/collective code is exercised without real chips.
+
+The environment exports JAX_PLATFORMS=axon (the TPU tunnel) and jax may
+already be imported by the interpreter, so we override via jax.config —
+XLA_FLAGS is read lazily at backend initialization, which hasn't happened
+yet at conftest time.
 """
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, (
+    "expected 8 virtual CPU devices; got "
+    f"{jax.devices()} on backend {jax.default_backend()}"
+)

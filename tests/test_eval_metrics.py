@@ -1,0 +1,98 @@
+"""Metric parity vs utils/util_test.py and blocked/sharded similarity checks."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+from utils.util_test import Composite_metrics as ref_composite  # noqa: E402
+from utils.util_test import IoU_metrics as ref_iou  # noqa: E402
+from utils.util_test import Recall_metrics as ref_recall  # noqa: E402
+
+from mgsv_tpu.eval import metrics, similarity  # noqa: E402
+from mgsv_tpu.models.xpool import XPoolTransformer, sim_matrix_music_pooling  # noqa: E402
+
+
+def _sim_problem(n=60, n_unique=40, seed=0):
+    rng = np.random.RandomState(seed)
+    sim = rng.randn(n, n).astype(np.float64)
+    # duplicated music ids to exercise dedup ranking
+    ids = [f"m{rng.randint(n_unique)}" for _ in range(n)]
+    # make sure each row's own id appears at its own column
+    return sim, ids
+
+
+def test_recall_metrics_parity():
+    sim, ids = _sim_problem()
+    ref_m, ref_ind, ref_results = ref_recall(sim, dedup=True, all_music_ids_list=ids)
+    ours_m, ours_ind, ours_results = metrics.recall_metrics(sim, ids)
+    np.testing.assert_array_equal(ours_ind, ref_ind)
+    for k in ["R1", "R3", "R5", "R10", "R20", "R25", "R50", "R100",
+              "MedianR", "MeanR", "MRR"]:
+        np.testing.assert_allclose(ours_m[k], ref_m[k], atol=1e-9, err_msg=k)
+    for a, b in zip(ours_results, ref_results):
+        assert a["music_id"] == b["music_id"]
+        assert a["rank"] == b["rank"]
+        assert a["topk_music_ids"] == b["topk_music_ids"]
+
+
+def test_iou_and_composite_parity():
+    rng = np.random.RandomState(1)
+    n = 80
+    iou = rng.rand(n)
+    ranks = rng.randint(0, 120, size=n)
+
+    ref_m = ref_iou(list(iou))
+    ours_m = metrics.iou_metrics(iou)
+    for k in ref_m:
+        np.testing.assert_allclose(ours_m[k], ref_m[k], atol=1e-9, err_msg=k)
+
+    import torch
+    iou_t = [torch.tensor(x) for x in iou]
+    ref_c = ref_composite(list(ranks), iou_t, [{}] * n, ["v"] * n, ["m"] * n)
+    ours_c = metrics.composite_metrics(ranks, iou)
+    for k in ref_c:
+        np.testing.assert_allclose(ours_c[k], float(ref_c[k]), atol=1e-7, err_msg=k)
+
+
+def test_blocked_similarity_matches_direct():
+    rng = np.random.RandomState(2)
+    v_count, m_count, s, d = 12, 20, 8, 32
+    video = jnp.asarray(rng.randn(v_count, d).astype(np.float32))
+    segs = jnp.asarray(rng.randn(m_count, s, d).astype(np.float32))
+    mask = np.ones((m_count, s), np.float32)
+    mask[:, 6:] = 0
+    mask = jnp.asarray(mask)
+
+    xpool = XPoolTransformer(d)
+    params = xpool.init(jax.random.PRNGKey(0), video, segs, mask)
+    direct = sim_matrix_music_pooling(
+        video, xpool.apply(params, video, segs, mask, deterministic=True))
+
+    blocked = similarity.xpool_similarity_blocked(
+        xpool.apply, params, video, segs, mask, block_size=6)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(direct), atol=1e-5)
+
+
+def test_sharded_similarity_matches_blocked():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(np.array(devs), ("dp",))
+
+    rng = np.random.RandomState(3)
+    v_count, m_count, s, d = 8, 32, 6, 16
+    video = jnp.asarray(rng.randn(v_count, d).astype(np.float32))
+    segs = jnp.asarray(rng.randn(m_count, s, d).astype(np.float32))
+    mask = jnp.asarray(np.ones((m_count, s), np.float32))
+
+    xpool = XPoolTransformer(d)
+    params = xpool.init(jax.random.PRNGKey(0), video, segs, mask)
+    blocked = similarity.xpool_similarity_blocked(
+        xpool.apply, params, video, segs, mask, block_size=8)
+    sharded = similarity.xpool_similarity_sharded(
+        xpool.apply, params, video, segs, mask, mesh, block_size=4)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(blocked), atol=1e-5)
