@@ -107,7 +107,7 @@ def xpool_similarity_sharded(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(params, video_embs, seg_shard, mask_shard):
         return xpool_similarity_blocked(
