@@ -1,0 +1,103 @@
+"""Eval CLI: `python -m mgsv_tpu.cli.evaluate --ckpt <dir|tag> ...`.
+
+Replaces test-MaDe.py: loads a checkpoint (ours via orbax, or a reference
+`pytorch_model.bin.*` via the torch importer), runs the shared evaluator on
+the chosen split, prints metrics, optionally dumps per-sample JSON
+(test-MaDe.py:436-440 / utils/util_test.py:202-226).  `--test-best` sweeps
+the four best-metric checkpoints like test-MaDe.py:491-501.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import jax
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.cli.train import parse_overrides
+
+
+def _load_params(path_or_tag: str, run_dir: str, cfg: Config, example_init):
+    if path_or_tag.endswith(".bin") or ".bin." in path_or_tag:
+        from mgsv_tpu.interop.torch_import import load_reference_checkpoint
+        return load_reference_checkpoint(path_or_tag, cfg)
+    from mgsv_tpu.core.checkpoint import CheckpointManager
+    mgr = CheckpointManager(run_dir)
+    restored = mgr.restore(path_or_tag)
+    return restored["params"]
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser("mgsv-tpu-eval", add_help=True)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="orbax tag (with --run-dir) or reference .bin path")
+    parser.add_argument("--run-dir", type=str, default=None)
+    parser.add_argument("--test-best", action="store_true",
+                        help="sweep best_{r1,iou,r1iou05,r1iou07} checkpoints")
+    parser.add_argument("--split", choices=["val", "test"], default="test")
+    parser.add_argument("--save-json", type=str, default=None)
+    known, rest = parser.parse_known_args(argv)
+    _, overrides = parse_overrides(rest)
+    cfg = Config.from_overrides(overrides)
+
+    import os.path as osp
+    from mgsv_tpu.data.dataset import MgsvDataset
+    from mgsv_tpu.eval.evaluator import evaluate
+    from mgsv_tpu.models.made import MaDe
+
+    csv = cfg.data.test_csv if known.split == "test" else cfg.data.val_csv
+    data = MgsvDataset.open(
+        csv,
+        osp.join(cfg.data.feature_root, "video_store"),
+        osp.join(cfg.data.feature_root, "music_store"),
+        cfg.data.max_m_duration)
+
+    model = MaDe(cfg)
+    batch, _ = next(iter(data.epoch_batches(cfg.train.batch_size_val,
+                                            shuffle=False, drop_last=False)))
+    init_params = model.init(
+        jax.random.PRNGKey(0), batch["frame_feats"], batch["frame_mask"],
+        batch["segment_feats"], batch["segment_mask"], deterministic=True)
+
+    tags = (["best_r1", "best_iou", "best_r1iou05", "best_r1iou07"]
+            if known.test_best else [known.ckpt])
+    all_results = {}
+    for tag in tags:
+        if tag is None:
+            params = init_params
+            tag = "random_init"
+        else:
+            try:
+                params = _load_params(tag, known.run_dir or ".", cfg, init_params)
+            except FileNotFoundError:
+                logging.warning("checkpoint %s missing, skipped", tag)
+                continue
+        res = evaluate(model, params, data, cfg)
+        summary = {**res["retrieval"], **res["localization"], **res["composite"]}
+        summary.pop("cols", None)
+        all_results[tag] = summary
+        print(tag, json.dumps(summary, indent=2, default=float))
+        if known.save_json:
+            from mgsv_tpu.eval.metrics import save_results_json
+            loc_results = [
+                dict(video_id=v, music_id=m, m_duration=float(d),
+                     gt_moment=g.tolist(), pred_st=float(p[0]), pred_ed=float(p[1]))
+                for v, m, d, g, p in zip(
+                    res["video_ids"], res["music_ids"],
+                    data.index.m_duration, data.index.gt_moment,
+                    res["pred_spans"])
+            ]
+            save_results_json(res["ret_results"], loc_results, res["ious"],
+                              known.save_json, cfg.data.max_m_duration)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

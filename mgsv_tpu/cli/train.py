@@ -1,0 +1,79 @@
+"""Train CLI: `python -m mgsv_tpu.cli.train [--key value ...]`.
+
+One typed-config entry point replacing the reference's ~100 argparse flags
+duplicated across train-MaDe.py:27-173 / test-MaDe.py:27-175 and the bash
+env-var blocks in scripts/*.sh.  Overrides use dotted section.key paths,
+e.g. `--train.epochs 100 --data.feature_root features/Kuai_feature`.
+Defaults are the paper configuration (see mgsv_tpu.config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+
+from mgsv_tpu.config import Config
+
+
+def parse_overrides(argv):
+    parser = argparse.ArgumentParser("mgsv-tpu-train", add_help=True)
+    parser.add_argument("--config-json", type=str, default=None,
+                        help="path to a full config JSON to start from")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on a generated synthetic dataset of N rows")
+    known, rest = parser.parse_known_args(argv)
+    overrides = {}
+    it = iter(rest)
+    for key in it:
+        if not key.startswith("--"):
+            raise SystemExit(f"expected --section.key, got {key}")
+        raw = next(it, None)
+        if raw is None:
+            raise SystemExit(f"missing value for {key}")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        overrides[key[2:]] = value
+    return known, overrides
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
+    known, overrides = parse_overrides(argv if argv is not None else sys.argv[1:])
+    cfg = Config.from_overrides(overrides)
+
+    from mgsv_tpu.data.dataset import MgsvDataset
+    from mgsv_tpu.train.loop import Trainer
+
+    if known.synthetic:
+        from mgsv_tpu.data import synthetic
+        root = os.path.join(cfg.train.output_dir, "synthetic_data")
+        synthetic.generate(root, n_rows=known.synthetic, data_cfg=cfg.data)
+        train_data = val_data = synthetic.open_synthetic(root, cfg.data)
+    else:
+        feature_root = cfg.data.feature_root
+        train_data = MgsvDataset.open(
+            cfg.data.train_csv,
+            os.path.join(feature_root, "video_store"),
+            os.path.join(feature_root, "music_store"),
+            cfg.data.max_m_duration)
+        val_data = MgsvDataset.open(
+            cfg.data.val_csv,
+            os.path.join(feature_root, "video_store"),
+            os.path.join(feature_root, "music_store"),
+            cfg.data.max_m_duration)
+
+    trainer = Trainer(cfg, train_data=train_data, val_data=val_data)
+    result = trainer.fit()
+    print(json.dumps({"best": result["best"]}, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Checkpointing: orbax-backed {params, opt_state, step} with best-metric aliases.
+
+TPU-native equivalent of utils/util_train.py:21-60: the reference writes
+`pytorch_model.bin.{epoch}` plus four best-metric files
+(`.best_{r1,iou,r1iou05,r1iou07}`, train-MaDe.py:707-727); here each tag is
+an orbax directory under the run dir, saved asynchronously off the device
+sync path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.run_dir, f"ckpt_{tag}")
+
+    def save(self, tag: str, state: Dict[str, Any]) -> str:
+        """state: pytree of arrays (e.g. {"params", "opt_state", "step"})."""
+        path = self._path(tag)
+        self._ckptr.save(path, state, force=True)
+        return path
+
+    def restore(self, tag: str, target: Optional[Dict[str, Any]] = None):
+        self._ckptr.wait_until_finished()
+        return self._ckptr.restore(self._path(tag), target=target)
+
+    def exists(self, tag: str) -> bool:
+        return os.path.isdir(self._path(tag))
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+
+class BestMetricTracker:
+    """Best-metric checkpoint policy — train-MaDe.py:707-727.
+
+    Tracks R1, R5, mIoU, R1_iou0.5, R1_iou0.7; `update` returns the list of
+    best-checkpoint tags that improved this epoch.
+    """
+
+    WATCH = {
+        "best_r1": ("R1", True),            # >= keeps latest on ties (:709)
+        "best_r5": ("R5", True),            # tracked but not checkpointed (:713)
+        "best_iou": ("mIoU", True),
+        "best_r1iou05": ("R1_iou0.5", False),  # strict > (:720)
+        "best_r1iou07": ("R1_iou0.7", True),
+    }
+    SAVED = ("best_r1", "best_iou", "best_r1iou05", "best_r1iou07")
+
+    def __init__(self):
+        self.best = {tag: {"value": 0.0, "epoch": 0} for tag in self.WATCH}
+
+    def update(self, epoch: int, metrics: Dict[str, float]):
+        improved = []
+        for tag, (key, ties_keep) in self.WATCH.items():
+            value = float(metrics.get(key, 0.0))
+            cur = self.best[tag]["value"]
+            better = value >= cur if ties_keep else value > cur
+            if better:
+                self.best[tag] = {"value": value, "epoch": epoch}
+                if tag in self.SAVED:
+                    improved.append(tag)
+        return improved
+
+    def last_best_epoch(self) -> int:
+        return max(v["epoch"] for v in self.best.values())
+
+    def should_stop(self, epoch: int, min_epochs: int = 60, patience: int = 20) -> bool:
+        """Early stop — train-MaDe.py:735-736."""
+        return epoch >= max(min_epochs, self.last_best_epoch() + patience)

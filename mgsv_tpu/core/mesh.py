@@ -1,0 +1,54 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's NCCL process-group / DistributedSampler scaffolding
+(train-MaDe.py:25, dataloaders/data_dataloaders.py:11) with the JAX SPMD
+model: one global mesh with a data-parallel axis ("dp") and a model axis
+("mp", unused by the small MaDe head but part of the framework surface),
+NamedSharding for batches, replicated params, XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+MODEL_AXIS = "mp"
+
+
+def make_mesh(shape: Tuple[int, int] = (-1, 1),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (dp, mp) mesh.  shape=(-1, 1) puts every device on dp."""
+    devices = list(devices if devices is not None else jax.devices())
+    dp, mp = shape
+    if dp == -1:
+        assert len(devices) % mp == 0
+        dp = len(devices) // mp
+    if mp == -1:
+        assert len(devices) % dp == 0
+        mp = len(devices) // dp
+    assert dp * mp == len(devices), (dp, mp, len(devices))
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over dp, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put every array in the batch with the dp-sharded layout."""
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,142 @@
+"""Full evaluation epoch: forward every batch, corpus similarity, metrics.
+
+Re-derivation of eval_epoch (train-MaDe.py:439-637 = test-MaDe.py:243-447 —
+the reference duplicates it; here there is exactly one implementation used
+by both the train loop and the eval CLI).  Differences by design:
+
+  * the corpus X-Pool pooled similarity runs blocked on-device
+    (eval/similarity.py) instead of moving the module to CPU and
+    materializing [N, N, D] (train-MaDe.py:588-591);
+  * per-sample IoUs are computed inside the jitted eval step, not in a
+    python loop over tensors (train-MaDe.py:501-526);
+  * final partial batches are padded to static shapes and excluded from
+    metrics via a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.data.dataset import MgsvDataset
+from mgsv_tpu.eval import metrics as M
+from mgsv_tpu.eval.similarity import dual_similarity, xpool_similarity_blocked
+from mgsv_tpu.models.made import MaDe
+from mgsv_tpu.models.xpool import XPoolTransformer
+from mgsv_tpu.train.step import make_eval_step
+
+
+def evaluate(
+    model: MaDe,
+    params,
+    dataset: MgsvDataset,
+    cfg: Config,
+    batch_size: Optional[int] = None,
+    eval_step=None,
+    sim_block_size: int = 256,
+) -> Dict[str, Any]:
+    """Returns {"loss", "retrieval", "localization", "composite", "results"}."""
+    batch_size = batch_size or cfg.train.batch_size_val
+    eval_step = eval_step or make_eval_step(model, cfg)
+
+    video_embs, music_embs = [], []
+    seg_tokens, seg_masks = [], []
+    ious, pred_spans, losses = [], [], []
+    video_ids, music_ids = [], []
+    n_valid = 0
+
+    for batch, meta in dataset.epoch_batches(
+            batch_size, shuffle=False, drop_last=False):
+        out = eval_step(params, batch)
+        valid = meta.valid
+        k = int(valid.sum())
+        n_valid += k
+        video_embs.append(np.asarray(out["video_emb"])[valid])
+        music_embs.append(np.asarray(out["music_emb"])[valid])
+        seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
+        seg_masks.append(np.asarray(out["segment_mask"])[valid])
+        ious.append(np.asarray(out["iou"])[valid])
+        pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
+        losses.append(float(out["loss"]))
+        video_ids.extend([v for v, ok in zip(meta.video_ids, valid) if ok])
+        music_ids.extend([m for m, ok in zip(meta.music_ids, valid) if ok])
+
+    video_embs = np.concatenate(video_embs)       # [N, D]
+    music_embs = np.concatenate(music_embs)
+    seg_tokens = np.concatenate(seg_tokens)       # [N, S, D]
+    seg_masks = np.concatenate(seg_masks)
+    ious = np.concatenate(ious)
+
+    sim = corpus_similarity(
+        params, video_embs, music_embs, seg_tokens, seg_masks, cfg,
+        block_size=sim_block_size)
+
+    ret_metrics, ranks, ret_results = M.recall_metrics(sim, music_ids)
+    loc_metrics = M.iou_metrics(ious)
+    com_metrics = M.composite_metrics(ranks, ious)
+
+    return {
+        "loss": float(np.mean(losses)) if losses else 0.0,
+        "retrieval": ret_metrics,
+        "localization": loc_metrics,
+        "composite": com_metrics,
+        "ranks": ranks,
+        "ious": ious,
+        "pred_spans": np.concatenate(pred_spans),
+        "video_ids": video_ids,
+        "music_ids": music_ids,
+        "ret_results": ret_results,
+    }
+
+
+def corpus_similarity(
+    params,
+    video_embs: np.ndarray,
+    music_embs: np.ndarray,
+    seg_tokens: np.ndarray,
+    seg_masks: np.ndarray,
+    cfg: Config,
+    block_size: int = 256,
+) -> np.ndarray:
+    """Similarity fusion per vmr_loss — train-MaDe.py:577-604."""
+    lc, m = cfg.loss, cfg.model
+    video = jnp.asarray(video_embs)
+
+    def pooled_sim():
+        xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
+        sub = {"params": params["params"]["xpool_v2m"]}
+        return xpool_similarity_blocked(
+            xpool.apply, sub, video, jnp.asarray(seg_tokens),
+            jnp.asarray(seg_masks) if m.fusion_mask else None,
+            block_size=min(block_size, len(seg_tokens)),
+        )
+
+    if "XA" not in m.vmr_fusion:
+        return np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+    if lc.vmr_loss == "single":
+        return np.asarray(pooled_sim())
+    if lc.vmr_loss in ("dual_single_sim_fuse", "dual_single_loss_fuse"):
+        single = np.asarray(pooled_sim())
+        dual = np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+        return single * 1.0 + dual * 1.0
+    if lc.vmr_loss == "dual_single_feature_fuse":
+        # Pooled features fused with the global music embedding before sim
+        # (train-MaDe.py:600-603).  Rarely-used variant: materializes the
+        # pooled tensor (like the reference) rather than blocking.
+        from mgsv_tpu.models.xpool import sim_matrix_music_pooling
+
+        xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
+        sub = {"params": params["params"]["xpool_v2m"]}
+        pooled = xpool.apply(
+            sub, video, jnp.asarray(seg_tokens),
+            jnp.asarray(seg_masks) if m.fusion_mask else None,
+            deterministic=True)
+        fused = pooled + jnp.asarray(music_embs)[:, None, :]
+        return np.asarray(sim_matrix_music_pooling(video, fused))
+    if lc.vmr_loss == "dual":
+        return np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+    raise ValueError(f"unsupported vmr_loss for eval: {lc.vmr_loss}")

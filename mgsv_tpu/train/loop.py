@@ -1,0 +1,200 @@
+"""The training loop: epochs, metrics, best-metric checkpoints, early stop.
+
+One Trainer replaces the duplicated train-MaDe.py / test-MaDe.py loops
+(SURVEY.md §1 "the training loop, eval loop, and CLI are duplicated").
+Data-parallel by construction: batches are device_put with a dp-sharded
+NamedSharding over the mesh and every step is one jit-compiled SPMD program
+— gradients sync via XLA collectives, unlike the reference whose DDP
+wrapper is discarded before training (train-MaDe.py:241, quirk #1;
+intentionally fixed here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.core import mesh as mesh_lib
+from mgsv_tpu.core.checkpoint import BestMetricTracker, CheckpointManager
+from mgsv_tpu.data.dataset import MgsvDataset
+from mgsv_tpu.eval.evaluator import evaluate
+from mgsv_tpu.models.made import MaDe
+from mgsv_tpu.train.optimizer import make_optimizer
+from mgsv_tpu.train.step import create_state, make_eval_step, make_train_step
+
+logger = logging.getLogger("mgsv_tpu")
+
+
+@dataclasses.dataclass
+class EpochStats:
+    loss: float
+    retrieval_loss: float
+    localization_loss: float
+    miou: float
+    seconds: float
+    steps: int
+    clips_per_sec: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        train_data: Optional[MgsvDataset] = None,
+        val_data: Optional[MgsvDataset] = None,
+        mesh=None,
+        run_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.train_data = train_data
+        self.val_data = val_data
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            cfg.train.mesh_shape if cfg.train.mesh_shape != (1, 1)
+            else (len(jax.devices()), 1))
+        self.run_dir = run_dir or os.path.join(
+            cfg.train.output_dir, cfg.train.name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(self.run_dir) if cfg.train.save_checkpoints else None
+        self.tracker = BestMetricTracker()
+
+        self.model = MaDe(cfg)
+        steps_per_epoch = (
+            train_data.num_batches(cfg.train.batch_size_train)
+            if train_data is not None else 1)
+        self.total_steps = steps_per_epoch * cfg.train.epochs
+        self.tx = make_optimizer(cfg, self.total_steps)
+        self.train_step = make_train_step(self.model, cfg)
+        self.eval_step = make_eval_step(self.model, cfg)
+        self.state = None
+        self._tb = None
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, example_batch: Dict[str, Any], seed: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed)
+        state = create_state(self.model, self.cfg, self.tx, rng, example_batch)
+        self.state = mesh_lib.replicate(self.mesh, state)
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        logger.info("initialized %0.3fM trainable-head params on mesh %s",
+                    n_params / 1e6, dict(zip(self.mesh.axis_names, self.mesh.devices.shape)))
+        return self.state
+
+    def _tb_writer(self):
+        if self._tb is None:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(log_dir=self.run_dir)
+            except Exception:  # pragma: no cover
+                self._tb = False
+        return self._tb or None
+
+    # ------------------------------------------------------------------ train
+    def train_epoch(self, epoch: int) -> EpochStats:
+        cfg = self.cfg
+        assert self.train_data is not None
+        if self.state is None:
+            first = next(iter(self.train_data.epoch_batches(
+                cfg.train.batch_size_train, shuffle=False)))[0]
+            self.init_state(first)
+
+        rng = jax.random.PRNGKey(cfg.train.seed + 977 * epoch)
+        t0 = time.time()
+        losses, ret_losses, loc_losses, ious = [], [], [], []
+        steps = 0
+        for batch, _meta in self.train_data.epoch_batches(
+                cfg.train.batch_size_train, shuffle=True,
+                seed=cfg.train.seed, epoch=epoch):
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            self.state, log = self.train_step(self.state, batch, rng)
+            steps += 1
+            losses.append(log["loss"])
+            ret_losses.append(log["retrieval_loss"])
+            loc_losses.append(log["localization_loss"])
+            ious.append(log["train_iou"])
+            if steps % max(1, self.train_data.num_batches(
+                    cfg.train.batch_size_train) // cfg.train.log_every) == 0:
+                logger.info(
+                    "epoch %d step %d loss %.4f (ret %.4f loc %.4f)",
+                    epoch, steps, float(log["loss"]),
+                    float(log["retrieval_loss"]), float(log["localization_loss"]))
+        # one device sync at epoch end
+        loss = float(np.mean([float(x) for x in losses]))
+        ret = float(np.mean([float(x) for x in ret_losses]))
+        loc = float(np.mean([float(x) for x in loc_losses]))
+        miou = float(np.mean(np.concatenate([np.asarray(x) for x in ious])))
+        dt = time.time() - t0
+        clips = steps * cfg.train.batch_size_train / dt if dt > 0 else 0.0
+        stats = EpochStats(loss, ret, loc, miou, dt, steps, clips)
+        tb = self._tb_writer()
+        if tb:
+            tb.add_scalar("train/loss_epoch", loss, epoch)
+            tb.add_scalar("train/mIoU_epoch", miou, epoch)
+            tb.add_scalar("train/clips_per_sec", clips, epoch)
+        logger.info("epoch %d done: loss %.4f mIoU %.4f (%.1fs, %.1f clips/s)",
+                    epoch, loss, miou, dt, clips)
+        return stats
+
+    # ------------------------------------------------------------------- eval
+    def eval_epoch(self, epoch: int) -> Dict[str, Any]:
+        assert self.val_data is not None and self.state is not None
+        res = evaluate(self.model, self.state.params, self.val_data, self.cfg,
+                       eval_step=self.eval_step)
+        r, l, c = res["retrieval"], res["localization"], res["composite"]
+        logger.info(
+            "eval %d >>> R@1 %.2f R@5 %.2f R@10 %.2f MdR %.1f MRR %.4f | "
+            "mIoU %.4f IoU@.5 %.2f IoU@.7 %.2f | R1^iou.5 %.2f R1^iou.7 %.2f",
+            epoch, r["R1"], r["R5"], r["R10"], r["MedianR"], r["MRR"],
+            l["mIoU"], l["IoU@0.5"], l["IoU@0.7"],
+            c["R1_iou0.5"], c["R1_iou0.7"])
+        tb = self._tb_writer()
+        if tb:
+            tb.add_scalar("eval/R1_epoch", r["R1"], epoch)
+            tb.add_scalar("eval/mIoU_epoch", l["mIoU"], epoch)
+        return res
+
+    # -------------------------------------------------------------------- fit
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        epochs = epochs or cfg.train.epochs
+        history = []
+        for epoch in range(1, epochs + 1):
+            stats = self.train_epoch(epoch)
+            record: Dict[str, Any] = {"epoch": epoch,
+                                      "train": dataclasses.asdict(stats)}
+            if self.val_data is not None:
+                res = self.eval_epoch(epoch)
+                flat = {**res["retrieval"], **res["localization"], **res["composite"]}
+                flat.pop("cols", None)
+                record["eval"] = flat
+                improved = self.tracker.update(epoch, flat)
+                if self.ckpt:
+                    for tag in improved:
+                        self.ckpt.save(tag, {
+                            "params": jax.device_get(self.state.params),
+                            "step": int(self.state.step),
+                            "epoch": epoch,
+                        })
+                if self.tracker.should_stop(
+                        epoch, cfg.train.early_stop_min_epochs,
+                        cfg.train.early_stop_patience):
+                    logger.info("early stop at epoch %d", epoch)
+                    history.append(record)
+                    break
+            history.append(record)
+        with open(os.path.join(self.run_dir, "history.json"), "w") as f:
+            json.dump(history, f, indent=2, default=float)
+        if self.ckpt:
+            self.ckpt.save("last", {
+                "params": jax.device_get(self.state.params),
+                "step": int(self.state.step),
+                "epoch": history[-1]["epoch"] if history else 0,
+            })
+            self.ckpt.wait()
+        return {"history": history, "best": self.tracker.best}

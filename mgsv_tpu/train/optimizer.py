@@ -1,0 +1,92 @@
+"""Three-group optimizer mirroring the reference's param groups.
+
+prep_optimizer (train-MaDe.py:252-286) builds Adam over three param groups —
+temporal (projections + temporal transformers, lr=matching_lr), matching
+(X-Pool + logit_scale, lr=matching_lr), detection (DETR + heads,
+lr=detection_lr) — with per-group grad-norm clipping at 1.0
+(train-MaDe.py:375-377).  Implemented as optax.multi_transform with one
+clip+adam chain per label, so clipping is per-group exactly as upstream.
+
+Faithful quirk: `decoder_query_embed` belongs to NO reference param group
+(get_*_parameter, model_Uni.py:73-114) and therefore never updates; it is
+routed to a zero-update label here unless train_query_embed=True.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import optax
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.train.schedule import make_schedule
+
+TEMPORAL = "temporal"
+MATCHING = "matching"
+DETECTION = "detection"
+FROZEN = "frozen"
+
+_GROUP_OF_MODULE = {
+    # get_temporal_parameter = projections + temporal transformers
+    "video_tower": TEMPORAL,
+    "audio_tower": TEMPORAL,
+    "shared_temporal": TEMPORAL,
+    # get_matching_parameter
+    "xpool_v2m": MATCHING,
+    "xpool_m2v": MATCHING,
+    "logit_scale": MATCHING,
+    # get_detection_parameter
+    "ca_fusion": DETECTION,
+    "detr": DETECTION,
+    "span_embed": DETECTION,
+    "class_embed": DETECTION,
+    "moment_embed": DETECTION,
+    "contrastive_proj_query": DETECTION,
+    "contrastive_proj_vid": DETECTION,
+    "reg_mlp": DETECTION,
+    # reference quirk: never optimized
+    "query_embed": FROZEN,
+}
+
+
+def label_params(params: Dict[str, Any], train_query_embed: bool = False):
+    """Map each top-level module of the params tree to its LR group."""
+
+    def label_for(name: str) -> str:
+        group = _GROUP_OF_MODULE.get(name)
+        if group is None:
+            raise KeyError(f"no optimizer group for param subtree: {name}")
+        if name == "query_embed" and train_query_embed:
+            return DETECTION
+        return group
+
+    inner = params["params"] if "params" in params else params
+    labels = {name: label_for(name) for name in inner}
+    return {"params": labels} if "params" in params else labels
+
+
+def make_optimizer(cfg: Config, total_steps: int,
+                   train_query_embed: bool = False) -> optax.GradientTransformation:
+    t = cfg.train
+    warmup_steps = int(total_steps * t.warmup_rate)
+
+    def group(lr: float):
+        return optax.chain(
+            optax.clip_by_global_norm(t.max_grad_norm),
+            optax.adam(
+                make_schedule(t.scheduler, lr, warmup_steps, total_steps),
+                b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
+            ),
+        )
+
+    transforms = {
+        TEMPORAL: group(t.matching_lr),
+        MATCHING: group(t.matching_lr),
+        DETECTION: group(t.detection_lr),
+        FROZEN: optax.set_to_zero(),
+    }
+
+    def labeler(params):
+        return label_params(params, train_query_embed=train_query_embed)
+
+    return optax.multi_transform(transforms, labeler)

@@ -1,0 +1,89 @@
+"""End-to-end integration: synthetic dataset -> Trainer.fit -> metrics.
+
+The integration test SURVEY.md §4 calls for (the reference has none):
+train a small config for a few epochs on learnable synthetic data over the
+8-device CPU mesh and assert (a) loss decreases, (b) the full metric
+pipeline produces finite values, (c) checkpoints round-trip.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from mgsv_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from mgsv_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    data = DataConfig(max_v_frames=12, stride=20.0, filter_sec=20.0,
+                      vit_dim=64, ast_dim=96)
+    assert data.max_snippet_num == 12
+    model = ModelConfig(dim_input=32, temporal_mlp_dim=64, detr_ffn_dim=64,
+                        detr_enc_layers=1, detr_dec_layers=2,
+                        temporal_dropout=0.1, contrastive_dim=32,
+                        video_pe_len=40, audio_pe_len=40)
+    train = TrainConfig(epochs=3, batch_size_train=16, batch_size_val=16,
+                        matching_lr=2e-3, detection_lr=2e-3,
+                        early_stop_min_epochs=100, log_every=1,
+                        warmup_rate=0.1)
+    return Config(data=data, model=model, loss=Config().loss, train=train)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tiny_cfg, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    synthetic.generate(root, n_rows=48, n_unique_music=24,
+                       data_cfg=tiny_cfg.data, seed=0)
+    return synthetic.open_synthetic(root, tiny_cfg.data)
+
+
+def test_training_learns_and_checkpoints(tiny_cfg, tiny_data, tmp_path):
+    from mgsv_tpu.train.loop import Trainer
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        train=dataclasses.replace(tiny_cfg.train, output_dir=str(tmp_path)))
+    trainer = Trainer(cfg, train_data=tiny_data, val_data=tiny_data)
+    out = trainer.fit()
+
+    hist = out["history"]
+    assert len(hist) == cfg.train.epochs
+    first, last = hist[0]["train"]["loss"], hist[-1]["train"]["loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+    ev = hist[-1]["eval"]
+    for key in ["R1", "R10", "mIoU", "IoU@0.5", "R1_iou0.5", "MRR"]:
+        assert np.isfinite(ev[key]), key
+    # On 48 rows / 24 tracks even a barely-trained model should beat random
+    # R@10 (10/24 ~ 42%) after seeing correlated latents.
+    assert ev["R10"] > 20.0
+
+    # checkpoint round-trip
+    assert trainer.ckpt.exists("last")
+    restored = trainer.ckpt.restore("last")
+    assert restored["step"] == int(trainer.state.step)
+    import jax
+    leaves_a = jax.tree.leaves(restored["params"])
+    leaves_b = jax.tree.leaves(jax.device_get(trainer.state.params))
+    assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_eval_padding_excluded(tiny_cfg, tiny_data):
+    """Eval with a batch size that does not divide the dataset: padded rows
+    must not change metric counts."""
+    from mgsv_tpu.eval.evaluator import evaluate
+    from mgsv_tpu.models.made import MaDe
+    import jax
+
+    model = MaDe(tiny_cfg)
+    batch, _ = next(iter(tiny_data.epoch_batches(8, shuffle=False)))
+    params = model.init(jax.random.PRNGKey(0), batch["frame_feats"],
+                        batch["frame_mask"], batch["segment_feats"],
+                        batch["segment_mask"], deterministic=True)
+    res = evaluate(model, params, tiny_data, tiny_cfg, batch_size=20)
+    assert len(res["video_ids"]) == len(tiny_data)
+    assert len(res["ious"]) == len(tiny_data)
