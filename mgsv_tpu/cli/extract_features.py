@@ -1,0 +1,154 @@
+"""Feature extraction: raw media -> packed feature stores, on TPU.
+
+The materialization pass replacing the reference's per-item write-through
+cache (model_Base.py:418-438, 476-492 — which computed missing features
+one id at a time during training, torch.save'ing each to its own .pt).
+Here extraction is an explicit batched pass: decode on host, encode with
+the frozen CLIP/AST towers on TPU at large batch, write packed memmap
+stores that the training pipeline gathers from.
+
+Usage:
+  python -m mgsv_tpu.cli.extract_features \
+    --csv dataset/MGSV-EC/val_data.csv \
+    --frames-root /data/frames --audio-root /data/music \
+    --clip-ckpt ViT-B-32.pt --ast-ckpt audioset_0.4593.pth \
+    --out features/packed
+
+Also supports converting an existing reference feature directory
+(--convert-from features/Kuai_feature) without any model forward.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("mgsv_tpu.extract")
+
+
+def _load_clip_params(path: str):
+    import torch
+    from mgsv_tpu.models.clip_vit import import_clip_visual_state_dict
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state = blob.state_dict() if hasattr(blob, "state_dict") else blob
+    np_state = {k: v.float().numpy() for k, v in state.items()
+                if hasattr(v, "numpy")}
+    return import_clip_visual_state_dict(np_state)
+
+
+def _load_ast_params(path: str):
+    import torch
+    from mgsv_tpu.models.ast import import_ast_state_dict
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+    np_state = {k: v.float().numpy() for k, v in state.items()}
+    return import_ast_state_dict(np_state)
+
+
+def extract(args) -> None:
+    from mgsv_tpu.config import DataConfig
+    from mgsv_tpu.data.audio import extract_snippets, resample_linear
+    from mgsv_tpu.data.csv_index import load_csv_index
+    from mgsv_tpu.data.feature_store import PackedFeatureStore
+    from mgsv_tpu.data.frames import load_clip_frames
+    from mgsv_tpu.data.media import load_audio
+    from mgsv_tpu.models.frozen import FrozenEncoders
+
+    dcfg = DataConfig()
+    index = load_csv_index(args.csv, dcfg.max_m_duration)
+    enc = FrozenEncoders(_load_clip_params(args.clip_ckpt),
+                         _load_ast_params(args.ast_ckpt))
+
+    # ---- video frames
+    uniq_videos = list(dict.fromkeys(index.video_ids))
+    feats, masks = [], []
+    for i in range(0, len(uniq_videos), args.batch):
+        chunk = uniq_videos[i:i + args.batch]
+        frames, fmask = [], []
+        for vid in chunk:
+            fr, mk = load_clip_frames(
+                os.path.join(args.frames_root, vid), 0.0, dcfg.max_v_frames,
+                dcfg.max_v_frames, dcfg.image_resolution)
+            frames.append(fr); fmask.append(mk)
+        emb = np.asarray(enc.encode_frames(np.stack(frames)))
+        feats.append(emb.astype(np.float16))
+        masks.append(np.stack(fmask).astype(np.uint8))
+        logger.info("video %d/%d", i + len(chunk), len(uniq_videos))
+    PackedFeatureStore.build(
+        os.path.join(args.out, "video_store"), uniq_videos,
+        {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+
+    # ---- audio snippets
+    uniq_music = list(dict.fromkeys(index.music_ids))
+    feats, masks = [], []
+    for i in range(0, len(uniq_music), max(1, args.batch // 8)):
+        chunk = uniq_music[i:i + max(1, args.batch // 8)]
+        specs, smask = [], []
+        for mid in chunk:
+            wav, sr = load_audio(os.path.join(args.audio_root, f"{mid}.wav"))
+            wav = resample_linear(wav, sr, dcfg.sample_rate)
+            sp, mk = extract_snippets(
+                wav, dcfg.sample_rate, dcfg.max_m_duration, dcfg.stride,
+                dcfg.filter_sec, dcfg.padding_sec, dcfg.mel_bins,
+                dcfg.target_length)
+            specs.append(sp); smask.append(mk)
+        emb = np.asarray(enc.encode_snippets(np.stack(specs)))
+        feats.append(emb.astype(np.float16))
+        masks.append(np.stack(smask).astype(np.uint8))
+        logger.info("music %d/%d", i + len(chunk), len(uniq_music))
+    PackedFeatureStore.build(
+        os.path.join(args.out, "music_store"), uniq_music,
+        {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+
+
+def convert(args) -> None:
+    """Reference .pt feature dirs -> packed stores (no model forward)."""
+    from mgsv_tpu.config import DataConfig
+    from mgsv_tpu.data.csv_index import load_csv_index
+    from mgsv_tpu.data.feature_store import convert_reference_features
+
+    dcfg = DataConfig()
+    index = load_csv_index(args.csv, dcfg.max_m_duration)
+    src = args.convert_from
+    convert_reference_features(
+        os.path.join(src, "vit_feature1", "vit_feature"),
+        os.path.join(src, "vit_feature1", "vit_mask"),
+        index.video_ids, os.path.join(args.out, "video_store"))
+    convert_reference_features(
+        os.path.join(src, "ast_feature2p5", "ast_feature"),
+        os.path.join(src, "ast_feature2p5", "ast_mask"),
+        index.music_ids, os.path.join(args.out, "music_store"))
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser("mgsv-tpu-extract-features")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames-root", default=None)
+    p.add_argument("--audio-root", default=None)
+    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--ast-ckpt", default=None)
+    p.add_argument("--convert-from", default=None,
+                   help="reference feature root (e.g. features/Kuai_feature)")
+    p.add_argument("--batch", type=int, default=64)
+    args = p.parse_args(argv)
+    if args.convert_from:
+        convert(args)
+    else:
+        if not all([args.frames_root, args.audio_root, args.clip_ckpt, args.ast_ckpt]):
+            raise SystemExit(
+                "need --frames-root --audio-root --clip-ckpt --ast-ckpt "
+                "(or --convert-from)")
+        extract(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,14 +83,14 @@ class CrossTransformer(nn.Module):
         x = query
         last_attn = None
         for i in range(self.depth):
-            norm_x = nn.LayerNorm(name=f"q_norm_{i}")(x)
-            norm_ctx = nn.LayerNorm(name=f"ctx_norm_{i}")(context)
+            norm_x = nn.LayerNorm(epsilon=1e-5, name=f"q_norm_{i}")(x)
+            norm_ctx = nn.LayerNorm(epsilon=1e-5, name=f"ctx_norm_{i}")(context)
             x_res, attn = CrossAttention(
                 self.dim, heads=self.heads, dim_head=self.dim_head,
                 dropout=self.dropout, name=f"cross_attn_{i}",
             )(norm_x, norm_ctx, q_mask, kv_mask, deterministic=deterministic)
             attn_x = x_res + x
-            norm_x = nn.LayerNorm(name=f"ff_norm_{i}")(attn_x)
+            norm_x = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{i}")(attn_x)
             x = FeedForward(self.mlp_dim, self.dim, dropout=self.dropout,
                             name=f"ff_{i}")(norm_x, deterministic=deterministic) + attn_x
             last_attn = attn

@@ -48,8 +48,8 @@ class DetrEncoderLayer(nn.Module):
             h = nn.Dense(self.dim, kernel_init=_XAVIER, name="linear2")(h)
             return h
 
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         if self.pre_norm:                                  # forward_pre :170-189
             src2 = norm1(src)
             qk = src2 + pos
@@ -90,13 +90,13 @@ class DetrDecoderLayer(nn.Module):
             # forward_pre (:250-271) — always includes self-attention.
             sa = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
                                     kernel_init=_XAVIER, name="self_attn")
-            tgt2 = nn.LayerNorm(name="norm1")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
             qk = tgt2 + query_pos
             tgt = tgt + drop(sa(qk, qk, tgt2, deterministic=deterministic))
-            tgt2 = nn.LayerNorm(name="norm2")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
             tgt = tgt + drop(cross(tgt2 + query_pos, memory + pos, memory,
                                    key_mask=mem_mask, deterministic=deterministic))
-            tgt2 = nn.LayerNorm(name="norm3")(tgt)
+            tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
             tgt = tgt + drop(ffn(tgt2))
             return tgt
 
@@ -106,14 +106,14 @@ class DetrDecoderLayer(nn.Module):
                                     kernel_init=_XAVIER, name="self_attn")
             qk = tgt + query_pos
             tgt = tgt + drop(sa(qk, qk, tgt, deterministic=deterministic))
-            tgt = nn.LayerNorm(name="norm1")(tgt)
+            tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
 
         tgt2 = cross(tgt + query_pos, memory + pos, memory,
                      key_mask=mem_mask, deterministic=deterministic)
         tgt = tgt + drop(tgt2)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         tgt = tgt + drop(ffn(tgt))
-        tgt = nn.LayerNorm(name="norm3")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
         return tgt
 
 
@@ -154,12 +154,12 @@ class DetrTransformer(nn.Module):
             )(memory, mask, pos, deterministic=deterministic)
         # No final encoder LN in the post-norm default (transformer.py:34).
         if self.pre_norm and self.enc_layers > 0:
-            memory = nn.LayerNorm(name="encoder_norm")(memory)
+            memory = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(memory)
 
         query_pos = jnp.broadcast_to(query_embed[None], (bs,) + query_embed.shape)
         tgt = jnp.zeros_like(query_pos) if target is None else target
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         intermediate = []
         for i in range(self.dec_layers):
             tgt = DetrDecoderLayer(

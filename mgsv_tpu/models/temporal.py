@@ -33,12 +33,12 @@ class TemporalTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True):
         """x: [B, L, D]; mask: [B, L] (1 = valid) -> [B, L, out_dim]."""
         for i in range(self.depth):
-            x = nn.LayerNorm(name=f"norm1_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
             attn = MultiHeadAttention(
                 self.dim, self.heads, dropout=self.dropout, name=f"attn_{i}"
             )(x, x, x, key_mask=mask, deterministic=deterministic)
             x = attn + x
-            x = nn.LayerNorm(name=f"norm2_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
             h = nn.Dense(self.mlp_dim, name=f"ff_fc1_{i}")(x)
             h = nn.gelu(h, approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

@@ -82,12 +82,12 @@ class XPoolTransformer(nn.Module):
         seg_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        ln1 = nn.LayerNorm(name="layer_norm1")
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")
         video = ln1(video)
         music_segs = ln1(music_segs)          # shared LN1, transformer.py:164-165
 
         attn_out = XPoolAttention(self.dim, name="cross_attn")(video, music_segs, seg_mask)
-        attn_out = nn.LayerNorm(name="layer_norm2")(attn_out)
+        attn_out = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(attn_out)
 
         linear_out = nn.Dense(
             self.dim, kernel_init=_identity_init, bias_init=nn.initializers.zeros,
@@ -95,7 +95,7 @@ class XPoolTransformer(nn.Module):
         )(attn_out)
         linear_out = nn.Dropout(self.dropout)(linear_out, deterministic=deterministic)
         out = attn_out + linear_out
-        return nn.LayerNorm(name="layer_norm3")(out)   # [M, V, D]
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm3")(out)   # [M, V, D]
 
 
 def sim_matrix_music_pooling(video: jnp.ndarray, pooled: jnp.ndarray) -> jnp.ndarray:

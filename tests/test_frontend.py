@@ -1,0 +1,133 @@
+"""Raw-input frontend tests: kaldi fbank, snippet windower, frame preprocessing,
+frozen-encoder batch runners."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mgsv_tpu.data import audio
+from mgsv_tpu.data.frames import black_frame, load_clip_frames, preprocess_image
+
+
+def test_fbank_shapes_and_floor():
+    sr = 16000
+    # 10s window -> 1 + (160000 - 400) // 160 = 998 frames (the reference's
+    # "1024 = 10.26s" comment, dataloader_MGSV_EC_rawdata.py:146)
+    wav = np.zeros(sr * 10, np.float32)
+    fb = audio.fbank(wav)
+    assert fb.shape == (998, 128)
+    # silence -> log(FLT_EPSILON) everywhere
+    np.testing.assert_allclose(fb, np.log(audio.EPSILON), atol=1e-5)
+
+
+def test_fbank_sine_peaks_at_expected_mel_bin():
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    for freq in (440.0, 2000.0):
+        wav = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        fb = audio.fbank(wav)
+        mean_spec = fb.mean(axis=0)
+        peak_bin = int(np.argmax(mean_spec))
+        # locate the mel filter whose center is nearest to freq
+        mel_lo, mel_hi = audio.mel_scale(20.0), audio.mel_scale(sr / 2)
+        delta = (mel_hi - mel_lo) / (128 + 1)
+        centers_mel = mel_lo + (np.arange(128) + 1) * delta
+        expected = int(np.argmin(np.abs(centers_mel - audio.mel_scale(freq))))
+        assert abs(peak_bin - expected) <= 1, (freq, peak_bin, expected)
+
+
+def test_fbank_jax_matches_numpy_core():
+    rng = np.random.RandomState(0)
+    wav = rng.randn(16000).astype(np.float32) * 0.1
+    fb_np = audio.fbank(wav)
+    # frame on host, run core on device
+    win, shift = 400, 160
+    n_frames = 1 + (len(wav) - win) // shift
+    idx = np.arange(win)[None, :] + shift * np.arange(n_frames)[:, None]
+    frames = wav[idx][None]                       # [1, T, win]
+    mel_w = audio.mel_banks(128, 512, 16000)
+    window = audio._hanning(win)
+    fb_j = np.asarray(audio.fbank_jax(frames, mel_w, window))[0]
+    np.testing.assert_allclose(fb_j, fb_np, atol=2e-3)
+
+
+def test_snippet_windows_and_mask():
+    wins = audio.snippet_windows(240.0, 2.5, 10.0)
+    assert wins.shape == (96, 2)
+    np.testing.assert_allclose(wins[0], [0.0, 5.0])       # clipped at track start
+    np.testing.assert_allclose(wins[4], [5.0, 15.0])      # full 10s window
+    np.testing.assert_allclose(wins[-1], [232.5, 240.0])  # clipped at track end
+
+    sr = 16000
+    wav = np.random.RandomState(1).randn(sr * 30).astype(np.float32) * 0.05
+    snips, mask = audio.extract_snippets(wav, sr)
+    assert snips.shape == (96, 1024, 128)
+    # mask rule: center <= duration (rawdata.py:138-139) — centers 0..30 -> 13
+    assert mask.sum() == 13
+    # normalization applied
+    assert np.isfinite(snips).all()
+
+
+def test_black_frame_matches_preprocessed_black_image():
+    from PIL import Image
+
+    img = Image.new("RGB", (448, 320), (0, 0, 0))
+    np.testing.assert_allclose(
+        preprocess_image(img, 224), black_frame(224), atol=1e-6)
+
+
+def test_load_clip_frames(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "vid"
+    d.mkdir()
+    for sec in range(4):
+        Image.new("RGB", (64, 48), (sec * 40, 10, 200)).save(d / f"{sec}.jpg")
+    frames, mask = load_clip_frames(str(d), 0.0, 3.9, max_v_frames=6,
+                                    resolution=32)
+    assert frames.shape == (6, 3, 32, 32)
+    np.testing.assert_array_equal(mask, [1, 1, 1, 1, 0, 0])
+    # padded slots are black frames
+    np.testing.assert_allclose(frames[4], black_frame(32), atol=1e-6)
+
+
+def test_frozen_encoders_batch_shapes():
+    import jax
+
+    from mgsv_tpu.models.ast import ASTEncoder
+    from mgsv_tpu.models.clip_vit import ClipVisionTower
+    from mgsv_tpu.models.frozen import FrozenEncoders
+
+    clip = ClipVisionTower(width=32, depth=1, heads=2, patch=16, out_dim=24,
+                           image_size=32)
+    ast = ASTEncoder(embed_dim=32, depth=1, heads=2, label_dim=5,
+                     input_fdim=32, input_tdim=48)
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, 3, 3, 32, 32).astype(np.float32)
+    specs = rng.randn(2, 4, 48, 32).astype(np.float32)
+    clip_params = clip.init(jax.random.PRNGKey(0), images[0])
+    ast_params = ast.init(jax.random.PRNGKey(0), specs[0])
+
+    enc = FrozenEncoders(clip_params, ast_params, clip, ast)
+    fe = enc.encode_frames(images)
+    se = enc.encode_snippets(specs)
+    assert fe.shape == (2, 3, 24)
+    assert se.shape == (2, 4, 32)
+
+
+def test_wav_roundtrip(tmp_path):
+    import wave
+
+    from mgsv_tpu.data.media import load_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    wav = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype(np.int16)
+    path = str(tmp_path / "t.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(wav.tobytes())
+    data, got_sr = load_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(data, wav.astype(np.float32) / 32768.0, atol=1e-6)
