@@ -27,18 +27,31 @@ import numpy as np
 
 
 class PackedFeatureStore:
-    """Immutable memmapped id -> row feature store."""
+    """Immutable memmapped id -> row feature store.
 
-    def __init__(self, root: str):
+    Row gathers go through the native C++ runtime (mmap + threaded memcpy
+    with fused fp16->fp32 widening, mgsv_tpu/runtime/mgsv_io.cc) when the
+    toolchain is available, else a numpy memmap fallback.
+    """
+
+    def __init__(self, root: str, use_native: bool = True):
         self.root = root
         with open(os.path.join(root, "meta.json")) as f:
             meta = json.load(f)
         self.ids: List[str] = meta["ids"]
         self.row_of: Dict[str, int] = {i: r for r, i in enumerate(self.ids)}
-        self.arrays: Dict[str, np.ndarray] = {}
-        for name in meta["arrays"]:
-            self.arrays[name] = np.load(
-                os.path.join(root, f"{name}.npy"), mmap_mode="r")
+        self.arrays: Dict[str, object] = {}
+        for name, spec in meta["arrays"].items():
+            path = os.path.join(root, f"{name}.npy")
+            store = None
+            if use_native:
+                try:
+                    from mgsv_tpu.runtime.native import NativeStore
+                    store = NativeStore(path, spec["shape"], spec["dtype"])
+                except Exception:
+                    store = None
+            self.arrays[name] = store if store is not None else np.load(
+                path, mmap_mode="r")
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -48,8 +61,16 @@ class PackedFeatureStore:
 
     def gather(self, name: str, row_idx: np.ndarray,
                dtype: Optional[np.dtype] = np.float32) -> np.ndarray:
-        out = self.arrays[name][row_idx]
+        arr = self.arrays[name]
+        if hasattr(arr, "gather"):
+            return arr.gather(row_idx, out_dtype=dtype or None)
+        out = arr[row_idx]
         return out.astype(dtype) if dtype is not None else np.asarray(out)
+
+    def prefetch(self, name: str, row_idx: np.ndarray) -> None:
+        arr = self.arrays[name]
+        if hasattr(arr, "prefetch"):
+            arr.prefetch(row_idx)
 
     @staticmethod
     def build(root: str, ids: Sequence[str],

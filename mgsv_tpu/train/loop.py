@@ -108,10 +108,11 @@ class Trainer:
         t0 = time.time()
         losses, ret_losses, loc_losses, ious = [], [], [], []
         steps = 0
-        for batch, _meta in self.train_data.epoch_batches(
-                cfg.train.batch_size_train, shuffle=True,
-                seed=cfg.train.seed, epoch=epoch):
-            batch = mesh_lib.shard_batch(self.mesh, batch)
+        from mgsv_tpu.data.pipeline import prefetch_epoch
+        for batch, _meta in prefetch_epoch(
+                self.train_data, cfg.train.batch_size_train, shuffle=True,
+                seed=cfg.train.seed, epoch=epoch,
+                sharding=mesh_lib.batch_sharding(self.mesh)):
             self.state, log = self.train_step(self.state, batch, rng)
             steps += 1
             losses.append(log["loss"])
