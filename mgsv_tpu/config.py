@@ -177,6 +177,11 @@ class TrainConfig:
     mesh_shape: tuple = (1, 1)       # (dp, mp); (-1, 1) = all devices on dp
     donate_state: bool = True
 
+    # Profiling: trace a 5-step window of epoch 1 into run_dir/profile.
+    profile: bool = False
+    # Resume: checkpoint tag to restore before training (e.g. "last").
+    resume: str = ""
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:

@@ -80,6 +80,11 @@ class Tower(nn.Module):
                 )
             x = trm(x, mask, deterministic=deterministic)
             x = x * mask[..., None]                       # masked_fill :541
+        elif self.agg_module == "mlp":
+            # EmbeddingNet aggregator (model_Base.py:357-377, :567-569)
+            from mgsv_tpu.models.embedding_net import EmbeddingNet
+            x = EmbeddingNet(self.dim, name="embedding_net")(x)
+            x = x * mask[..., None]
 
         if self.with_cls_token:
             emb = x[:, 0]

@@ -108,11 +108,15 @@ class Trainer:
         t0 = time.time()
         losses, ret_losses, loc_losses, ious = [], [], [], []
         steps = 0
+        from mgsv_tpu.core.profiling import StepProfiler
         from mgsv_tpu.data.pipeline import prefetch_epoch
+        profiler = StepProfiler(self.run_dir,
+                                enabled=cfg.train.profile and epoch == 1)
         for batch, _meta in prefetch_epoch(
                 self.train_data, cfg.train.batch_size_train, shuffle=True,
                 seed=cfg.train.seed, epoch=epoch,
                 sharding=mesh_lib.batch_sharding(self.mesh)):
+            profiler.step(steps)
             self.state, log = self.train_step(self.state, batch, rng)
             steps += 1
             losses.append(log["loss"])
@@ -125,6 +129,7 @@ class Trainer:
                     "epoch %d step %d loss %.4f (ret %.4f loc %.4f)",
                     epoch, steps, float(log["loss"]),
                     float(log["retrieval_loss"]), float(log["localization_loss"]))
+        profiler.close()
         # one device sync at epoch end
         loss = float(np.mean([float(x) for x in losses]))
         ret = float(np.mean([float(x) for x in ret_losses]))
@@ -160,12 +165,44 @@ class Trainer:
             tb.add_scalar("eval/mIoU_epoch", l["mIoU"], epoch)
         return res
 
+    # ----------------------------------------------------------------- resume
+    def restore(self, tag: str = "last") -> int:
+        """Restore {params, opt_state, step, epoch} from a checkpoint.
+
+        Returns the epoch to resume from (saved epoch + 1).  The reference
+        wires resume for test only (utils/util_train.py:38-60, never called
+        by the train loop); here it is a first-class trainer feature.
+        """
+        assert self.ckpt is not None and self.ckpt.exists(tag), tag
+        if self.state is None:
+            first = next(iter(self.train_data.epoch_batches(
+                self.cfg.train.batch_size_train, shuffle=False)))[0]
+            self.init_state(first)
+        target = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = self.ckpt.restore(tag, target=target)
+        self.state = self.state.replace(
+            params=mesh_lib.replicate(self.mesh, restored["params"]),
+            opt_state=mesh_lib.replicate(self.mesh, restored["opt_state"]),
+            step=restored["step"],
+        )
+        logger.info("restored %s at step %d (epoch %d)", tag,
+                    int(restored["step"]), int(restored["epoch"]))
+        return int(restored["epoch"]) + 1
+
     # -------------------------------------------------------------------- fit
     def fit(self, epochs: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
         epochs = epochs or cfg.train.epochs
         history = []
-        for epoch in range(1, epochs + 1):
+        start_epoch = 1
+        if cfg.train.resume and self.ckpt and self.ckpt.exists(cfg.train.resume):
+            start_epoch = self.restore(cfg.train.resume)
+        for epoch in range(start_epoch, epochs + 1):
             stats = self.train_epoch(epoch)
             record: Dict[str, Any] = {"epoch": epoch,
                                       "train": dataclasses.asdict(stats)}
@@ -192,8 +229,10 @@ class Trainer:
         with open(os.path.join(self.run_dir, "history.json"), "w") as f:
             json.dump(history, f, indent=2, default=float)
         if self.ckpt:
+            # "last" carries the optimizer state so training can resume.
             self.ckpt.save("last", {
                 "params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
                 "step": int(self.state.step),
                 "epoch": history[-1]["epoch"] if history else 0,
             })

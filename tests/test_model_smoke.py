@@ -88,6 +88,7 @@ def test_jit_grad_and_dropout_rng():
     dict(transformer_is_share=True),
     dict(detr_pre_norm=True),
     dict(vmr_fusion="XA-music-video"),
+    dict(agg_module="mlp"),
 ])
 def test_config_variants_forward(variant):
     loss_kw = {}

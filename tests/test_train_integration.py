@@ -72,6 +72,27 @@ def test_training_learns_and_checkpoints(tiny_cfg, tiny_data, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
+def test_resume_from_last(tiny_cfg, tiny_data, tmp_path):
+    from mgsv_tpu.train.loop import Trainer
+
+    base = dataclasses.replace(
+        tiny_cfg.train, output_dir=str(tmp_path), epochs=2)
+    cfg = dataclasses.replace(tiny_cfg, train=base)
+    t1 = Trainer(cfg, train_data=tiny_data, val_data=None)
+    t1.fit()
+    steps_done = int(t1.state.step)
+    assert steps_done == 2 * tiny_data.num_batches(base.batch_size_train)
+
+    cfg2 = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(base, epochs=3, resume="last"))
+    t2 = Trainer(cfg2, train_data=tiny_data, val_data=None)
+    out = t2.fit()
+    # resumed at epoch 3: exactly one more epoch of steps
+    assert int(t2.state.step) == steps_done + tiny_data.num_batches(
+        base.batch_size_train)
+    assert [h["epoch"] for h in out["history"]] == [3]
+
+
 def test_eval_padding_excluded(tiny_cfg, tiny_data):
     """Eval with a batch size that does not divide the dataset: padded rows
     must not change metric counts."""
