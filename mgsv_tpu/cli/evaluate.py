@@ -32,6 +32,8 @@ def _load_params(path_or_tag: str, run_dir: str, cfg: Config, example_init):
 
 
 def main(argv=None):
+    from mgsv_tpu.core.cache import enable as _enable_cache
+    _enable_cache()
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     argv = argv if argv is not None else sys.argv[1:]

@@ -127,6 +127,8 @@ def convert(args) -> None:
 
 
 def main(argv=None):
+    from mgsv_tpu.core.cache import enable as _enable_cache
+    _enable_cache()
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     p = argparse.ArgumentParser("mgsv-tpu-extract-features")

@@ -43,6 +43,8 @@ def parse_overrides(argv):
 
 
 def main(argv=None):
+    from mgsv_tpu.core.cache import enable as _enable_cache
+    _enable_cache()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s")

@@ -47,6 +47,7 @@ class ASTEncoder(nn.Module):
     input_fdim: int = 128
     input_tdim: int = 1024
     attention_fn: Callable = default_attention
+    dtype: jnp.dtype = jnp.float32   # compute dtype (bfloat16 for speed)
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray):
@@ -62,7 +63,7 @@ class ASTEncoder(nn.Module):
         # [B, T, F] -> [B, F, T, 1] (NHWC for flax Conv; freq=H, time=W).
         x = jnp.transpose(spec, (0, 2, 1))[..., None]
         x = nn.Conv(self.embed_dim, kernel_size=(16, 16),
-                    strides=(self.fstride, self.tstride),
+                    strides=(self.fstride, self.tstride), dtype=self.dtype,
                     padding="VALID", name="patch_proj")(x)   # [B, f, t, D]
         x = x.reshape(b, num_patches, self.embed_dim)
 
@@ -81,7 +82,8 @@ class ASTEncoder(nn.Module):
 
         for i in range(self.depth):
             x = ViTBlock(self.embed_dim, self.heads,
-                         attention_fn=self.attention_fn, name=f"block_{i}")(x)
+                         attention_fn=self.attention_fn, dtype=self.dtype,
+                         name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
         cls_dist = (x[:, 0] + x[:, 1]) / 2.0

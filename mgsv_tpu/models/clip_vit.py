@@ -34,6 +34,7 @@ class ClipVisionTower(nn.Module):
     out_dim: int = 512
     image_size: int = 224
     attention_fn: Callable = default_attention
+    dtype: jnp.dtype = jnp.float32   # compute dtype (bfloat16 for speed)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +43,7 @@ class ClipVisionTower(nn.Module):
         x = jnp.transpose(images, (0, 2, 3, 1))               # NHWC
         x = nn.Conv(self.width, kernel_size=(self.patch, self.patch),
                     strides=(self.patch, self.patch), padding="VALID",
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         grid = (self.image_size // self.patch) ** 2
         x = x.reshape(b, grid, self.width)
 
@@ -57,7 +58,8 @@ class ClipVisionTower(nn.Module):
 
         for i in range(self.depth):
             x = ViTBlock(self.width, self.heads, act="quick_gelu",
-                         attention_fn=self.attention_fn, name=f"block_{i}")(x)
+                         attention_fn=self.attention_fn, dtype=self.dtype,
+                         name=f"block_{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),

@@ -30,11 +30,12 @@ class ViTSelfAttention(nn.Module):
     dim: int
     heads: int
     attention_fn: Callable = default_attention
+    dtype: jnp.dtype = jnp.float32    # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)           # packed like timm/CLIP
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)  # packed like timm/CLIP
         qkv = qkv.reshape(*x.shape[:-1], 3, self.heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, -3, 0)
         q = jnp.moveaxis(q, -2, -3)                            # [B, H, L, Dh]
@@ -42,7 +43,7 @@ class ViTSelfAttention(nn.Module):
         v = jnp.moveaxis(v, -2, -3)
         out = self.attention_fn(q, k, v, 1.0 / jnp.sqrt(jnp.float32(head_dim)))
         out = jnp.moveaxis(out, -3, -2).reshape(*x.shape[:-1], self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class ViTBlock(nn.Module):
@@ -53,14 +54,17 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     act: str = "gelu"              # "gelu" (timm/AST) | "quick_gelu" (CLIP)
     attention_fn: Callable = default_attention
+    dtype: jnp.dtype = jnp.float32    # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # LayerNorms compute in float32 for stability; matmuls in self.dtype.
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).astype(self.dtype)
         x = x + ViTSelfAttention(self.dim, self.heads,
-                                 attention_fn=self.attention_fn, name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+                                 attention_fn=self.attention_fn,
+                                 dtype=self.dtype, name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
         return x + h
