@@ -26,15 +26,17 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-def bench_ours(batch_size: int = 512, steps: int = 20, warmup: int = 3) -> float:
+def bench_ours(batch_size: int = 512, steps: int = 20, warmup: int = 2) -> float:
     import jax
 
     from mgsv_tpu.config import Config
+    from mgsv_tpu.core.cache import enable as enable_cache
     from mgsv_tpu.models.made import MaDe
     from mgsv_tpu.train.optimizer import make_optimizer
     from mgsv_tpu.train.step import create_state, make_train_step
     from __graft_entry__ import _example_batch
 
+    enable_cache()
     cfg = Config()
     model = MaDe(cfg)
     rng = np.random.RandomState(0)
@@ -44,15 +46,19 @@ def bench_ours(batch_size: int = 512, steps: int = 20, warmup: int = 3) -> float
     state = create_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(model, cfg)
 
+    # NOTE: timing must fetch a value to the host — on remote-TPU platforms
+    # block_until_ready returns before execution completes, and the first
+    # execution of a program can take minutes (program load); pay it in
+    # warmup, then time a chained run ended by one scalar fetch.
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, log = train_step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+        float(log["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, log = train_step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+    float(log["loss"])  # every step chains into this fetch
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
 

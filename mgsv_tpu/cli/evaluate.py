@@ -61,12 +61,14 @@ def main(argv=None):
         osp.join(cfg.data.feature_root, "music_store"),
         cfg.data.max_m_duration)
 
+    import functools
+
     model = MaDe(cfg)
     batch, _ = next(iter(data.epoch_batches(cfg.train.batch_size_val,
                                             shuffle=False, drop_last=False)))
-    init_params = model.init(
+    init_params = jax.jit(functools.partial(model.init, deterministic=True))(
         jax.random.PRNGKey(0), batch["frame_feats"], batch["frame_mask"],
-        batch["segment_feats"], batch["segment_mask"], deterministic=True)
+        batch["segment_feats"], batch["segment_mask"])
 
     tags = (["best_r1", "best_iou", "best_r1iou05", "best_r1iou07"]
             if known.test_best else [known.ckpt])

@@ -66,6 +66,10 @@ class MgsvDataset:
             "m_duration": ix.m_duration[idx],
             "v_duration": ix.v_duration[idx],
         }
+        # per-batch integer codes of the music track (for the
+        # ignore_same_music InfoNCE branch)
+        batch["music_codes"] = np.unique(
+            self.music_rows[idx], return_inverse=True)[1].astype(np.int32)
         # Mask-fill features at padded positions (the stores already hold
         # masked features, but synthetic/converted data may not) —
         # dataloader_MGSV_EC_feature.py:61,67.

@@ -46,14 +46,36 @@ def clip_loss(sims: jnp.ndarray, logit_scale: jnp.ndarray) -> jnp.ndarray:
     return (t2v + v2t) / 2.0
 
 
-def info_nce_loss(sims: jnp.ndarray, logit_scale: jnp.ndarray) -> jnp.ndarray:
+def info_nce_loss(
+    sims: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    music_codes: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Symmetric InfoNCE with arange labels (modules/loss.py:66-123).
 
     The shipped config uses ignore_same_music=1 (train-MaDe.py:124), i.e.
     the plain symmetric cross-entropy path (loss.py:115-122), which equals
     clip_loss mathematically.
+
+    With `music_codes` ([N] int ids of each row's music track) the
+    ignore_same_music=0 branch (loss.py:90-114) is applied to the
+    video->audio direction: off-diagonal columns sharing the row's music id
+    are dropped from the negatives (the reference builds [pos; negs] per
+    row and CEs against index 0 — equivalent to masking those logits out of
+    the softmax).  The audio->video direction stays plain CE (loss.py:120).
     """
-    return clip_loss(sims, logit_scale)
+    logits = sims * jnp.exp(logit_scale)
+    n = logits.shape[0]
+    diag = jnp.eye(n, dtype=bool)
+    if music_codes is None:
+        v2a = -jnp.mean(jnp.diagonal(jax.nn.log_softmax(logits, axis=1)))
+    else:
+        same = music_codes[:, None] == music_codes[None, :]
+        keep = diag | ~same                      # positive + true negatives
+        masked = jnp.where(keep, logits, -jnp.inf)
+        v2a = -jnp.mean(jnp.diagonal(jax.nn.log_softmax(masked, axis=1)))
+    a2v = -jnp.mean(jnp.diagonal(jax.nn.log_softmax(logits, axis=0)))
+    return (v2a + a2v) / 2.0
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,220 @@
+"""Serving: music index + retrieval/localization query engine.
+
+Production-facing capability the reference only implies (its eval loop ranks
+a closed 2000-row split): build a reusable index over a music collection
+(global embeddings + snippet tokens), then answer queries — given a video's
+frame features, return the top-k tracks with scores and a localized music
+moment *within each candidate track*, in one jitted path.
+
+The similarity fusion matches the eval protocol (dual + pooled X-Pool,
+train-MaDe.py:595-599), so engine rankings are consistent with offline
+metrics.  The index scales: pooled similarity runs in music blocks (or
+sharded over a mesh via eval/similarity.xpool_similarity_sharded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.eval.similarity import dual_similarity, xpool_similarity_blocked
+from mgsv_tpu.models.made import MaDe, Tower
+from mgsv_tpu.models.xpool import XPoolTransformer
+from mgsv_tpu.ops.spans import span_cw_to_se
+
+
+@dataclasses.dataclass
+class MusicIndex:
+    music_ids: List[str]
+    music_embs: np.ndarray     # [M, D]
+    seg_tokens: np.ndarray     # [M, S, D]
+    seg_masks: np.ndarray      # [M, S]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path, music_ids=np.asarray(self.music_ids),
+            music_embs=self.music_embs, seg_tokens=self.seg_tokens,
+            seg_masks=self.seg_masks)
+
+    @staticmethod
+    def load(path: str) -> "MusicIndex":
+        z = np.load(path, allow_pickle=False)
+        return MusicIndex(
+            music_ids=[str(x) for x in z["music_ids"]],
+            music_embs=z["music_embs"], seg_tokens=z["seg_tokens"],
+            seg_masks=z["seg_masks"])
+
+
+def build_music_index(
+    model: MaDe, params, cfg: Config,
+    music_ids: Sequence[str],
+    segment_feats: np.ndarray,    # [M, S, ast_dim] raw AST features
+    segment_masks: np.ndarray,    # [M, S]
+    batch_size: int = 128,
+) -> MusicIndex:
+    """Run the music tower over a collection once and freeze the results."""
+    m = cfg.model
+
+    tower = Tower(
+        m.dim_input, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
+        m.temporal_mlp_dim, m.temporal_dropout,
+        with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
+        agg_module=m.agg_module)
+    sub = {"params": params["params"]["audio_tower"]}
+
+    @jax.jit
+    def encode(feats, masks):
+        tokens, emb, masks = tower.apply(sub, feats, masks, deterministic=True)
+        return tokens, emb, masks
+
+    tokens_all, embs_all, masks_all = [], [], []
+    n = len(music_ids)
+    for i in range(0, n, batch_size):
+        feats = jnp.asarray(segment_feats[i:i + batch_size], jnp.float32)
+        masks = jnp.asarray(segment_masks[i:i + batch_size], jnp.float32)
+        if feats.shape[0] < batch_size:   # pad for a single compiled shape
+            pad = batch_size - feats.shape[0]
+            feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+            masks = jnp.pad(masks, ((0, pad), (0, 0))).at[
+                feats.shape[0] - pad:, 0].set(1)
+        tokens, emb, masks_out = encode(feats, masks)
+        k = min(batch_size, n - i)
+        tokens_all.append(np.asarray(tokens[:k]))
+        embs_all.append(np.asarray(emb[:k]))
+        masks_all.append(np.asarray(masks_out[:k]))
+
+    return MusicIndex(
+        music_ids=list(music_ids),
+        music_embs=np.concatenate(embs_all),
+        seg_tokens=np.concatenate(tokens_all),
+        seg_masks=np.concatenate(masks_all))
+
+
+class RetrievalEngine:
+    """Query-time engine: video features -> top-k tracks + moments."""
+
+    def __init__(self, model: MaDe, params, cfg: Config, index: MusicIndex,
+                 sim_block_size: int = 256):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.index = index
+        self.sim_block_size = sim_block_size
+        m = cfg.model
+
+        self._video_tower = Tower(
+            m.dim_input, m.video_pe_len, m.temporal_depth, m.temporal_heads,
+            m.temporal_mlp_dim, m.temporal_dropout,
+            with_cls_token=m.with_cls_token,
+            act_after_proj=m.with_act_after_proj, agg_module=m.agg_module)
+        self._video_sub = {"params": params["params"]["video_tower"]}
+        self._xpool_sub = {"params": params["params"]["xpool_v2m"]}
+        self._xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
+
+        self._seg_tokens = jnp.asarray(index.seg_tokens)
+        self._seg_masks = jnp.asarray(index.seg_masks)
+        self._music_embs = jnp.asarray(index.music_embs)
+
+        @jax.jit
+        def encode_video(frame_feats, frame_mask):
+            return self._video_tower.apply(
+                self._video_sub, frame_feats, frame_mask, deterministic=True)
+
+        self._encode_video = encode_video
+        self._localize = self._make_localize()
+
+    def _make_localize(self):
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def localize(params, frame_feats, frame_mask, seg_tokens, seg_masks):
+            """One (video, track) pair per row: full MaDe forward on raw
+            frame features + *index* snippet tokens is wasteful; instead we
+            re-run the trunk with the video repeated against each candidate
+            track's original AST features is not available here — so the
+            DETR fusion consumes the index's tower tokens directly."""
+            from mgsv_tpu.models import layers as L
+            from mgsv_tpu.models.detr import DetrTransformer
+
+            m = cfg.model
+            p = params["params"]
+            tokens, video_emb, fmask = self._video_tower.apply(
+                {"params": p["video_tower"]}, frame_feats, frame_mask,
+                deterministic=True)
+            fused = jnp.concatenate([tokens, seg_tokens], axis=1)
+            fused_mask = jnp.concatenate([fmask, seg_masks], axis=1)
+            pos = L.position_embedding_sine(fused_mask, m.dim_input)
+            nq = m.num_moment_queries
+            target = jnp.broadcast_to(
+                video_emb[:, None, :], (video_emb.shape[0], nq, m.dim_input))
+            detr = DetrTransformer(
+                m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
+                m.detr_dec_layers, dropout=m.detr_dropout,
+                pre_norm=m.detr_pre_norm,
+                decoder_self_attn=m.decoder_self_attn)
+            hidden, _ = detr.apply(
+                {"params": p["detr"]}, fused, fused_mask, pos,
+                p["query_embed"], target, deterministic=True)
+            logits = hidden[-1] @ p["class_embed"]["kernel"] + p["class_embed"]["bias"]
+            h = hidden[-1]
+            for i in range(3):
+                w = p["span_embed"][f"layer_{i}"]
+                h = h @ w["kernel"] + w["bias"]
+                if i < 2:
+                    h = jax.nn.relu(h)
+            spans_cw = jax.nn.sigmoid(h)
+            score = jax.nn.softmax(logits, axis=-1)[..., cfg.loss.foreground_label]
+            best = jnp.argmax(score, axis=-1)
+            spans_se = span_cw_to_se(spans_cw) * cfg.data.max_m_duration
+            take = lambda x: jnp.take_along_axis(
+                x, best[:, None, None], axis=1)[:, 0]
+            return take(spans_se), jnp.take_along_axis(
+                score, best[:, None], axis=1)[:, 0]
+
+        return localize
+
+    def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
+              top_k: int = 5) -> List[Dict]:
+        """frame_feats: [B, F, vit_dim]; returns per query a dict with
+        ranked music ids/scores and a localized moment per candidate."""
+        frame_feats = jnp.asarray(frame_feats, jnp.float32)
+        frame_mask = jnp.asarray(frame_mask, jnp.float32)
+        _, video_emb, _ = self._encode_video(frame_feats, frame_mask)
+
+        sims = dual_similarity(video_emb, self._music_embs)
+        sims = sims + xpool_similarity_blocked(
+            self._xpool.apply, self._xpool_sub, video_emb,
+            self._seg_tokens,
+            self._seg_masks if self.cfg.model.fusion_mask else None,
+            block_size=min(self.sim_block_size, len(self.index.music_ids)))
+        sims = np.asarray(sims)                                 # [B, M]
+
+        b = sims.shape[0]
+        order = np.argsort(-sims, axis=1)[:, :top_k]            # [B, k]
+
+        # Localize each (query, candidate) pair as one flat batch.
+        rep_feats = jnp.repeat(frame_feats, top_k, axis=0)
+        rep_mask = jnp.repeat(frame_mask, top_k, axis=0)
+        cand = order.reshape(-1)
+        spans, scores = self._localize(
+            self.params, rep_feats, rep_mask,
+            self._seg_tokens[cand], self._seg_masks[cand])
+        spans = np.asarray(spans).reshape(b, top_k, 2)
+        loc_scores = np.asarray(scores).reshape(b, top_k)
+
+        results = []
+        for i in range(b):
+            results.append({
+                "music_ids": [self.index.music_ids[j] for j in order[i]],
+                "retrieval_scores": sims[i, order[i]].tolist(),
+                "moments": spans[i].tolist(),
+                "moment_scores": loc_scores[i].tolist(),
+            })
+        return results

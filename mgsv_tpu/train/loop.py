@@ -119,6 +119,13 @@ class Trainer:
             profiler.step(steps)
             self.state, log = self.train_step(self.state, batch, rng)
             steps += 1
+            # Failure detection (absent upstream, SURVEY.md §5): a non-finite
+            # loss would silently poison every later step — abort loudly with
+            # the offending step's stats instead.
+            if steps % 50 == 1 and not np.isfinite(float(log["loss"])):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {steps}: "
+                    f"{ {k: float(v) for k, v in log.items() if np.ndim(v) == 0} }")
             losses.append(log["loss"])
             ret_losses.append(log["retrieval_loss"])
             loc_losses.append(log["localization_loss"])

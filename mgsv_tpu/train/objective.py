@@ -22,9 +22,18 @@ from mgsv_tpu.models.xpool import (
 from mgsv_tpu.ops import losses as loss_ops
 
 
-def retrieval_loss(outputs: Dict[str, Any], cfg: Config) -> Tuple[jnp.ndarray, Dict]:
-    """model_Uni.py:236-275."""
+def retrieval_loss(outputs: Dict[str, Any], cfg: Config,
+                   music_codes=None) -> Tuple[jnp.ndarray, Dict]:
+    """model_Uni.py:236-275.
+
+    music_codes: optional [B] int track codes enabling the
+    ignore_same_music=0 InfoNCE branch (latent in the reference: the only
+    InfoNCELoss call site passes audio_id=None, model_Uni.py:256, so the
+    branch never fires upstream; here it is wired through the config).
+    """
     lc = cfg.loss
+    if lc.ignore_same_music != 0:
+        music_codes = None
     scale = outputs["logit_scale"]
     video, music = outputs["video_emb"], outputs["music_emb"]
     aux: Dict[str, jnp.ndarray] = {}
@@ -44,7 +53,7 @@ def retrieval_loss(outputs: Dict[str, Any], cfg: Config) -> Tuple[jnp.ndarray, D
         loss = loss_ops.clip_loss(sim, scale) * lc.dual_single_loss_weight
     elif lc.vmr_loss == "dual_single_loss_fuse":      # shipped config :254-262
         dual_sim = loss_ops.cosine_sim_matrix(video, music)
-        dual = loss_ops.info_nce_loss(dual_sim, scale)
+        dual = loss_ops.info_nce_loss(dual_sim, scale, music_codes)
         single_sim = sim_matrix_music_pooling(video, outputs["music_pooled"])
         single = loss_ops.clip_loss(single_sim, scale)
         loss = dual * 1.0 + single * 1.0
@@ -84,10 +93,11 @@ def localization_loss(
 
 
 def total_loss(
-    outputs: Dict[str, Any], spans_target: jnp.ndarray, cfg: Config
+    outputs: Dict[str, Any], spans_target: jnp.ndarray, cfg: Config,
+    music_codes=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = ret_w * retrieval + loc_w * localization (train-MaDe.py:338-370)."""
-    ret, ret_aux = retrieval_loss(outputs, cfg)
+    ret, ret_aux = retrieval_loss(outputs, cfg, music_codes=music_codes)
     loc, loc_log = localization_loss(outputs, spans_target, cfg)
     total = ret * cfg.loss.ret_loss_weight + loc * cfg.loss.loc_loss_weight
     log = {"loss": total, "retrieval_loss": ret, "localization_loss": loc}

@@ -70,7 +70,8 @@ def make_train_step(model: MaDe, cfg: Config):
                 v_duration=batch.get("v_duration"),
                 deterministic=False, rngs={"dropout": step_rng},
             )
-            loss, log = total_loss(out, batch["spans_target"], cfg)
+            loss, log = total_loss(out, batch["spans_target"], cfg,
+                                   music_codes=batch.get("music_codes"))
             return loss, (log, out)
 
         (_, (log, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

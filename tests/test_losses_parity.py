@@ -176,3 +176,26 @@ def test_clip_and_infonce_parity():
     )[0].item()
     ours_nce = float(losses.info_nce_loss(sims, jnp.asarray(scale)))
     np.testing.assert_allclose(ours_nce, ref_nce, rtol=1e-5)
+
+
+def test_info_nce_ignore_same_music_parity():
+    """The ignore_same_music=0 branch (loss.py:90-114): duplicate-music
+    columns dropped from the v2a negatives."""
+    rng = np.random.RandomState(5)
+    n, d = 10, 16
+    v = rng.randn(n, d).astype(np.float32)
+    m = rng.randn(n, d).astype(np.float32)
+    scale = np.float32(np.log(1 / 0.05))
+    music_ids = ["a", "b", "a", "c", "b", "d", "a", "e", "c", "f"]
+
+    sims_ref = torch_cal_distance(torch.tensor(v), torch.tensor(m))
+    ref = torch_info_nce(
+        sims_ref, torch.tensor(scale), audio_id=music_ids,
+        args=_ref_args(ignore_same_music=0), is_train=True,
+    )[0].item()
+
+    codes = np.unique(music_ids, return_inverse=True)[1].astype(np.int32)
+    sims = losses.cosine_sim_matrix(jnp.asarray(v), jnp.asarray(m))
+    ours = float(losses.info_nce_loss(sims, jnp.asarray(scale),
+                                      jnp.asarray(codes)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)

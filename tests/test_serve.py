@@ -1,0 +1,79 @@
+"""Serving engine: index build, query ranking, and localization consistency
+with the full MaDe forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgsv_tpu.config import Config, DataConfig, ModelConfig
+from mgsv_tpu.models.made import MaDe
+from mgsv_tpu.serve.engine import MusicIndex, RetrievalEngine, build_music_index
+
+
+def _cfg():
+    data = DataConfig(max_v_frames=8, stride=30.0, filter_sec=30.0,
+                      vit_dim=32, ast_dim=48)
+    model = ModelConfig(dim_input=16, temporal_mlp_dim=32, detr_ffn_dim=32,
+                        detr_enc_layers=1, detr_dec_layers=2,
+                        temporal_heads=4, detr_heads=4, contrastive_dim=16,
+                        video_pe_len=16, audio_pe_len=16)
+    return dataclasses.replace(Config(), data=data, model=model)
+
+
+def test_engine_query_and_localization_consistency(tmp_path):
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(0)
+    n_music, s = 12, cfg.data.max_snippet_num
+    f = cfg.data.max_v_frames
+
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    seg_masks[3, 4:] = 0
+    music_ids = [f"m{i}" for i in range(n_music)]
+
+    frame_feats = rng.randn(2, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((2, f), np.float32)
+    frame_mask[0, 5:] = 0
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats), jnp.asarray(frame_mask),
+        jnp.asarray(seg_feats[:2]), jnp.asarray(seg_masks[:2]),
+        deterministic=True)
+
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=5)
+    assert index.music_embs.shape == (n_music, cfg.model.dim_input)
+    np.testing.assert_allclose(
+        np.linalg.norm(index.music_embs, axis=-1), 1.0, atol=1e-5)
+
+    # save/load round trip
+    path = str(tmp_path / "index.npz")
+    index.save(path)
+    index2 = MusicIndex.load(path)
+    assert index2.music_ids == music_ids
+    np.testing.assert_array_equal(index2.music_embs, index.music_embs)
+
+    engine = RetrievalEngine(model, params, cfg, index2, sim_block_size=4)
+    results = engine.query(frame_feats, frame_mask, top_k=3)
+    assert len(results) == 2
+    for r in results:
+        assert len(r["music_ids"]) == 3
+        assert r["retrieval_scores"][0] >= r["retrieval_scores"][-1]
+
+    # Localization consistency: the engine's moment for (video i, candidate
+    # j) must equal the full MaDe forward's top span for that exact pair.
+    i, cand_id = 0, results[0]["music_ids"][0]
+    j = music_ids.index(cand_id)
+    out = model.apply(
+        params,
+        jnp.asarray(frame_feats[i:i + 1]), jnp.asarray(frame_mask[i:i + 1]),
+        jnp.asarray(seg_feats[j:j + 1]), jnp.asarray(seg_masks[j:j + 1]),
+        deterministic=True)
+    from mgsv_tpu.train.step import decode_top_span
+    spans_sec, _ = decode_top_span(out, cfg)
+    np.testing.assert_allclose(
+        np.asarray(spans_sec)[0], np.asarray(results[0]["moments"][0]),
+        atol=1e-4)
