@@ -136,6 +136,18 @@ class Trainer:
                     "epoch %d step %d loss %.4f (ret %.4f loc %.4f)",
                     epoch, steps, float(log["loss"]),
                     float(log["retrieval_loss"]), float(log["localization_loss"]))
+                # per-step scalars (train-MaDe.py:399-410), fetched only at
+                # log points to avoid a device sync every step
+                tb = self._tb_writer()
+                if tb:
+                    global_step = int(self.state.step)
+                    for key in ("loss", "retrieval_loss", "localization_loss",
+                                "loss_span", "loss_label", "loss_giou",
+                                "class_error", "loss_contrastive_align",
+                                "grad_norm"):
+                        if key in log:
+                            tb.add_scalar(f"train/{key}", float(log[key]),
+                                          global_step)
         profiler.close()
         # one device sync at epoch end
         loss = float(np.mean([float(x) for x in losses]))
