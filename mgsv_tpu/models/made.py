@@ -148,18 +148,22 @@ class MaDe(nn.Module):
 
         # -------------------------------------------------------- X-Pool
         if "XA" in m.vmr_fusion:
+            # remat: recompute the O(B^2 * D) pooled chain in backward
+            # instead of saving it (config.remat_xpool).
+            xpool_cls = (nn.remat(XPoolTransformer, static_argnums=(4,))
+                         if m.remat_xpool else XPoolTransformer)
             if "music" in m.vmr_fusion:
-                out["music_pooled"] = XPoolTransformer(
+                out["music_pooled"] = xpool_cls(
                     d, dropout=m.xpool_dropout, name="xpool_v2m",
                 )(video_emb, seg_tokens,
                   segment_mask if m.fusion_mask else None,
-                  deterministic=deterministic)            # [M, V, D]
+                  deterministic)                          # [M, V, D]
             if "video" in m.vmr_fusion:
-                out["video_pooled"] = XPoolTransformer(
+                out["video_pooled"] = xpool_cls(
                     d, dropout=m.xpool_dropout, name="xpool_m2v",
                 )(music_emb, frame_tokens,
                   frame_mask if m.fusion_mask else None,
-                  deterministic=deterministic)            # [V, M, D]
+                  deterministic)                          # [V, M, D]
 
         # ------------------------------------------------- detection fusion
         if m.mml_fusion == "concat":                      # model_Uni.py:206-208

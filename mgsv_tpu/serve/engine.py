@@ -61,6 +61,9 @@ def build_music_index(
 ) -> MusicIndex:
     """Run the music tower over a collection once and freeze the results."""
     m = cfg.model
+    assert not m.transformer_is_share, (
+        "serving engine drives the towers standalone; shared-temporal "
+        "configs need the full MaDe forward")
 
     tower = Tower(
         m.dim_input, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
