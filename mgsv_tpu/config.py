@@ -172,6 +172,12 @@ class TrainConfig:
     adam_eps: float = 1e-8
     early_stop_min_epochs: int = 60  # train-MaDe.py:735-736
     early_stop_patience: int = 20
+    # Gradient accumulation: the reference parses this flag but never gates
+    # backward/step with it (train-MaDe.py:126, SURVEY.md §3.2 note);
+    # implemented properly here via optax.MultiSteps.
+    gradient_accumulation_steps: int = 1
+    # Save a per-epoch checkpoint ("epoch_{n}") in addition to best tags.
+    save_every_epoch: bool = False
     output_dir: str = "runs"
     name: str = "made"
     log_every: int = 10              # num_display

@@ -31,7 +31,14 @@ def make_mesh(shape: Tuple[int, int] = (-1, 1),
         assert len(devices) % dp == 0
         mp = len(devices) // dp
     assert dp * mp == len(devices), (dp, mp, len(devices))
-    arr = np.asarray(devices).reshape(dp, mp)
+    try:
+        # Topology-aware layout: keeps the mp axis on adjacent ICI links so
+        # model collectives stay off DCN (mesh_utils handles multi-slice).
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh((dp, mp), devices=devices)
+    except Exception:
+        arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

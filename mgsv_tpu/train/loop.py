@@ -238,6 +238,12 @@ class Trainer:
                             "step": int(self.state.step),
                             "epoch": epoch,
                         })
+            if self.ckpt and cfg.train.save_every_epoch:
+                self.ckpt.save(f"epoch_{epoch}", {
+                    "params": jax.device_get(self.state.params),
+                    "step": int(self.state.step),
+                    "epoch": epoch,
+                })
                 if self.tracker.should_stop(
                         epoch, cfg.train.early_stop_min_epochs,
                         cfg.train.early_stop_patience):

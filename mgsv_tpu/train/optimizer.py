@@ -89,4 +89,9 @@ def make_optimizer(cfg: Config, total_steps: int,
     def labeler(params):
         return label_params(params, train_query_embed=train_query_embed)
 
-    return optax.multi_transform(transforms, labeler)
+    tx = optax.multi_transform(transforms, labeler)
+    if t.gradient_accumulation_steps > 1:
+        # Proper grad accumulation (the reference's flag is inert —
+        # train-MaDe.py:126 parses it but every batch still updates).
+        tx = optax.MultiSteps(tx, every_k_schedule=t.gradient_accumulation_steps)
+    return tx
