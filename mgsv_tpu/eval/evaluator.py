@@ -38,6 +38,7 @@ def evaluate(
     batch_size: Optional[int] = None,
     eval_step=None,
     sim_block_size: int = 256,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Returns {"loss", "retrieval", "localization", "composite", "results"}."""
     batch_size = batch_size or cfg.train.batch_size_val
@@ -73,7 +74,7 @@ def evaluate(
 
     sim = corpus_similarity(
         params, video_embs, music_embs, seg_tokens, seg_masks, cfg,
-        block_size=sim_block_size)
+        block_size=sim_block_size, mesh=mesh)
 
     ret_metrics, ranks, ret_results = M.recall_metrics(sim, music_ids)
     loc_metrics = M.iou_metrics(ious)
@@ -102,13 +103,15 @@ def corpus_similarity(
     cfg: Config,
     block_size: int = 256,
     use_fused_kernel: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Similarity fusion per vmr_loss — train-MaDe.py:577-604.
 
     use_fused_kernel selects the Pallas fused X-Pool similarity kernel
     (ops/pallas/xpool_sim.py) — measured ~1.6x faster than the XLA blocked
     path at 2000x2000 on v5e, at the cost of a long first compile; the XLA
-    path is the default.
+    path is the default.  A multi-device `mesh` shards the pooled
+    similarity over its dp axis (pod-scale retrieval).
     """
     lc, m = cfg.loss, cfg.model
     video = jnp.asarray(video_embs)
@@ -120,6 +123,14 @@ def corpus_similarity(
             from mgsv_tpu.ops.pallas.xpool_sim import xpool_sim_fused
             return xpool_sim_fused(video, jnp.asarray(seg_tokens), mask, sub)
         xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
+        from mgsv_tpu.core.mesh import DATA_AXIS
+        if (mesh is not None and mesh.devices.size > 1
+                and len(seg_tokens) % mesh.shape[DATA_AXIS] == 0):
+            from mgsv_tpu.eval.similarity import xpool_similarity_sharded
+            return xpool_similarity_sharded(
+                xpool.apply, sub, video, jnp.asarray(seg_tokens),
+                jnp.asarray(seg_masks), mesh,
+                block_size=min(block_size, len(seg_tokens)))
         return xpool_similarity_blocked(
             xpool.apply, sub, video, jnp.asarray(seg_tokens), mask,
             block_size=min(block_size, len(seg_tokens)),

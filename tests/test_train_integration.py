@@ -108,3 +108,59 @@ def test_eval_padding_excluded(tiny_cfg, tiny_data):
     res = evaluate(model, params, tiny_data, tiny_cfg, batch_size=20)
     assert len(res["video_ids"]) == len(tiny_data)
     assert len(res["ious"]) == len(tiny_data)
+
+
+def test_eval_sharded_similarity_matches_single_device(tiny_cfg, tiny_data):
+    """evaluate() with a multi-device mesh (pooled sim sharded over dp) must
+    produce the same metrics as the single-device blocked path."""
+    import jax
+    import numpy as np
+    from mgsv_tpu.core.mesh import make_mesh
+    from mgsv_tpu.eval.evaluator import evaluate
+    from mgsv_tpu.models.made import MaDe
+
+    model = MaDe(tiny_cfg)
+    batch, _ = next(iter(tiny_data.epoch_batches(8, shuffle=False)))
+    params = model.init(jax.random.PRNGKey(0), batch["frame_feats"],
+                        batch["frame_mask"], batch["segment_feats"],
+                        batch["segment_mask"], deterministic=True)
+    base = evaluate(model, params, tiny_data, tiny_cfg, batch_size=16)
+    mesh = make_mesh((8, 1))
+    sharded = evaluate(model, params, tiny_data, tiny_cfg, batch_size=16,
+                       mesh=mesh)
+    np.testing.assert_array_equal(base["ranks"], sharded["ranks"])
+    assert base["retrieval"] == sharded["retrieval"]
+
+
+def test_predict_center_and_moment_loss_variants(tiny_cfg, tiny_data):
+    """predict_center=1 (span head predicts only the center; width comes
+    from v_duration, model_Uni.py:282-284) and moment_loss heads."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from mgsv_tpu.models.made import MaDe
+    from mgsv_tpu.train.objective import total_loss
+
+    cfg = dataclasses.replace(
+        tiny_cfg, model=dataclasses.replace(
+            tiny_cfg.model, predict_center=True, moment_loss=True,
+            audio_short_cut=True))
+    model = MaDe(cfg)
+    batch, _ = next(iter(tiny_data.epoch_batches(8, shuffle=False)))
+    params = model.init(
+        jax.random.PRNGKey(0), batch["frame_feats"], batch["frame_mask"],
+        batch["segment_feats"], batch["segment_mask"],
+        v_duration=batch["v_duration"], deterministic=True)
+    out = model.apply(
+        params, batch["frame_feats"], batch["frame_mask"],
+        batch["segment_feats"], batch["segment_mask"],
+        v_duration=batch["v_duration"], deterministic=True)
+    # width channel equals v_duration / max_m_duration on every layer/query
+    widths = np.asarray(out["pred_spans_layers"][..., 1])
+    expected = np.asarray(batch["v_duration"]) / cfg.data.max_m_duration
+    np.testing.assert_allclose(
+        widths, np.broadcast_to(expected[None, :, None], widths.shape),
+        atol=1e-6)
+    assert "moment_feats" in out
+    loss, _ = total_loss(out, batch["spans_target"], cfg)
+    assert np.isfinite(float(loss))
