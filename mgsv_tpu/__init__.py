@@ -16,4 +16,22 @@ __all__ = [
     "LossConfig",
     "ModelConfig",
     "TrainConfig",
+    "MaDe",
+    "Trainer",
+    "evaluate",
 ]
+
+
+def __getattr__(name):
+    # Lazy re-exports keep `import mgsv_tpu` light (no jax/flax import cost
+    # until a model or trainer is actually requested).
+    if name == "MaDe":
+        from mgsv_tpu.models.made import MaDe
+        return MaDe
+    if name == "Trainer":
+        from mgsv_tpu.train.loop import Trainer
+        return Trainer
+    if name == "evaluate":
+        from mgsv_tpu.eval.evaluator import evaluate
+        return evaluate
+    raise AttributeError(name)

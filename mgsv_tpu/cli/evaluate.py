@@ -45,6 +45,8 @@ def main(argv=None):
                         help="sweep best_{r1,iou,r1iou05,r1iou07} checkpoints")
     parser.add_argument("--split", choices=["val", "test"], default="test")
     parser.add_argument("--save-json", type=str, default=None)
+    parser.add_argument("--fused-sim", action="store_true",
+                        help="use the fused Pallas X-Pool similarity kernel")
     known, rest = parser.parse_known_args(argv)
     _, overrides = parse_overrides(rest)
     cfg = Config.from_overrides(overrides)
@@ -83,7 +85,7 @@ def main(argv=None):
             except FileNotFoundError:
                 logging.warning("checkpoint %s missing, skipped", tag)
                 continue
-        res = evaluate(model, params, data, cfg)
+        res = evaluate(model, params, data, cfg, use_fused_sim=known.fused_sim)
         summary = {**res["retrieval"], **res["localization"], **res["composite"]}
         summary.pop("cols", None)
         all_results[tag] = summary

@@ -39,6 +39,7 @@ def evaluate(
     eval_step=None,
     sim_block_size: int = 256,
     mesh=None,
+    use_fused_sim: bool = False,
 ) -> Dict[str, Any]:
     """Returns {"loss", "retrieval", "localization", "composite", "results"}."""
     batch_size = batch_size or cfg.train.batch_size_val
@@ -74,7 +75,7 @@ def evaluate(
 
     sim = corpus_similarity(
         params, video_embs, music_embs, seg_tokens, seg_masks, cfg,
-        block_size=sim_block_size, mesh=mesh)
+        block_size=sim_block_size, mesh=mesh, use_fused_kernel=use_fused_sim)
 
     ret_metrics, ranks, ret_results = M.recall_metrics(sim, music_ids)
     loc_metrics = M.iou_metrics(ious)
