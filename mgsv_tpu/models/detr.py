@@ -35,17 +35,21 @@ class DetrEncoderLayer(nn.Module):
     ffn_dim: int
     dropout: float
     pre_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src, mask, pos, deterministic: bool = True):
         attn = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
-                                  kernel_init=_XAVIER, name="self_attn")
+                                  kernel_init=_XAVIER, dtype=self.dtype,
+                                  name="self_attn")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         def ffn(x):
-            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, name="linear1")(x)
+            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, dtype=self.dtype,
+                         name="linear1")(x)
             h = drop(nn.relu(h))
-            h = nn.Dense(self.dim, kernel_init=_XAVIER, name="linear2")(h)
+            h = nn.Dense(self.dim, kernel_init=_XAVIER, dtype=self.dtype,
+                         name="linear2")(h)
             return h
 
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
@@ -74,22 +78,27 @@ class DetrDecoderLayer(nn.Module):
     dropout: float
     pre_norm: bool = False
     self_attn: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, tgt, memory, mem_mask, pos, query_pos, deterministic: bool = True):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
         cross = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
-                                   kernel_init=_XAVIER, name="multihead_attn")
+                                   kernel_init=_XAVIER, dtype=self.dtype,
+                                   name="multihead_attn")
 
         def ffn(x):
-            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, name="linear1")(x)
+            h = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, dtype=self.dtype,
+                         name="linear1")(x)
             h = drop(nn.relu(h))
-            return nn.Dense(self.dim, kernel_init=_XAVIER, name="linear2")(h)
+            return nn.Dense(self.dim, kernel_init=_XAVIER, dtype=self.dtype,
+                            name="linear2")(h)
 
         if self.pre_norm:
             # forward_pre (:250-271) — always includes self-attention.
             sa = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
-                                    kernel_init=_XAVIER, name="self_attn")
+                                    kernel_init=_XAVIER, dtype=self.dtype,
+                                    name="self_attn")
             tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
             qk = tgt2 + query_pos
             tgt = tgt + drop(sa(qk, qk, tgt2, deterministic=deterministic))
@@ -103,7 +112,8 @@ class DetrDecoderLayer(nn.Module):
         # forward_post (:273-307); SA skipped when decoder_SA=0 (:281-290).
         if self.self_attn:
             sa = MultiHeadAttention(self.dim, self.heads, dropout=self.dropout,
-                                    kernel_init=_XAVIER, name="self_attn")
+                                    kernel_init=_XAVIER, dtype=self.dtype,
+                                    name="self_attn")
             qk = tgt + query_pos
             tgt = tgt + drop(sa(qk, qk, tgt, deterministic=deterministic))
             tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
@@ -133,6 +143,7 @@ class DetrTransformer(nn.Module):
     dropout: float = 0.1
     pre_norm: bool = False
     decoder_self_attn: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -150,7 +161,7 @@ class DetrTransformer(nn.Module):
         for i in range(self.enc_layers):
             memory = DetrEncoderLayer(
                 self.dim, self.heads, self.ffn_dim, self.dropout,
-                pre_norm=self.pre_norm, name=f"enc_{i}",
+                pre_norm=self.pre_norm, dtype=self.dtype, name=f"enc_{i}",
             )(memory, mask, pos, deterministic=deterministic)
         # No final encoder LN in the post-norm default (transformer.py:34).
         if self.pre_norm and self.enc_layers > 0:
@@ -165,7 +176,7 @@ class DetrTransformer(nn.Module):
             tgt = DetrDecoderLayer(
                 self.dim, self.heads, self.ffn_dim, self.dropout,
                 pre_norm=self.pre_norm, self_attn=self.decoder_self_attn,
-                name=f"dec_{i}",
+                dtype=self.dtype, name=f"dec_{i}",
             )(tgt, memory, mask, pos, query_pos, deterministic=deterministic)
             # return_intermediate: each layer's output through the shared
             # final norm (transformer.py:135-141).

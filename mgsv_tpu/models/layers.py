@@ -111,6 +111,7 @@ class MultiHeadAttention(nn.Module):
     heads: int
     dropout: float = 0.0
     kernel_init: Callable = nn.initializers.xavier_uniform()
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(
@@ -124,7 +125,8 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.dim // self.heads
         assert head_dim * self.heads == self.dim
 
-        dense = lambda name: nn.Dense(self.dim, kernel_init=self.kernel_init, name=name)
+        dense = lambda name: nn.Dense(self.dim, kernel_init=self.kernel_init,
+                                      dtype=self.dtype, name=name)
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
@@ -136,7 +138,10 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
         if key_mask is not None:
             logits = jnp.where(key_mask[:, None, None, :] != 0, logits, BIG_NEG)
-        attn = nn.softmax(logits, axis=-1)
+        # softmax in float32 for stability regardless of compute dtype
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(*out.shape[:-2], self.dim)

@@ -46,6 +46,7 @@ class Tower(nn.Module):
     with_cls_token: bool = False
     act_after_proj: bool = False
     agg_module: str = "transf"
+    dtype: Optional[jnp.dtype] = None   # compute dtype for the temporal TRM
     # Optional externally-shared temporal transformer (transformer_is_share,
     # model_Base.py:324-334 — only the transformer is shared, not the
     # projection or positional table).
@@ -76,7 +77,7 @@ class Tower(nn.Module):
             if trm is None:
                 trm = TemporalTransformer(
                     self.dim, self.depth, self.heads, self.mlp_dim, self.dim,
-                    dropout=self.dropout, name="temporal",
+                    dropout=self.dropout, dtype=self.dtype, name="temporal",
                 )
             x = trm(x, mask, deterministic=deterministic)
             x = x * mask[..., None]                       # masked_fill :541
@@ -112,26 +113,30 @@ class MaDe(nn.Module):
     ) -> Dict[str, Any]:
         m = self.cfg.model
         d = m.dim_input
+        # compute dtype for the heavy matmuls (params + LN + losses stay f32)
+        cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
 
         # ------------------------------------------------------------- towers
         shared_trm = None
         if m.transformer_is_share:
             shared_trm = TemporalTransformer(
                 d, m.temporal_depth, m.temporal_heads, m.temporal_mlp_dim, d,
-                dropout=m.temporal_dropout, name="shared_temporal",
+                dropout=m.temporal_dropout, dtype=cdtype, name="shared_temporal",
             )
         frame_tokens, video_emb, frame_mask = Tower(
             d, m.video_pe_len, m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
-            agg_module=m.agg_module, temporal_module=shared_trm, name="video_tower",
+            agg_module=m.agg_module, dtype=cdtype,
+            temporal_module=shared_trm, name="video_tower",
         )(frame_feats, frame_mask, deterministic=deterministic)
 
         seg_tokens, music_emb, segment_mask = Tower(
             d, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
-            agg_module=m.agg_module, temporal_module=shared_trm, name="audio_tower",
+            agg_module=m.agg_module, dtype=cdtype,
+            temporal_module=shared_trm, name="audio_tower",
         )(segment_feats, segment_mask, deterministic=deterministic)
 
         out: Dict[str, Any] = {
@@ -201,8 +206,10 @@ class MaDe(nn.Module):
         hidden, memory = DetrTransformer(
             d, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers, m.detr_dec_layers,
             dropout=m.detr_dropout, pre_norm=m.detr_pre_norm,
-            decoder_self_attn=m.decoder_self_attn, name="detr",
+            decoder_self_attn=m.decoder_self_attn, dtype=cdtype, name="detr",
         )(fused, fused_mask, pos, query_embed, target, deterministic=deterministic)
+        hidden = hidden.astype(jnp.float32)
+        memory = memory.astype(jnp.float32)
         out["memory"] = memory
 
         # ------------------------------------------------------------- heads

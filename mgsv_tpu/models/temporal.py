@@ -15,6 +15,8 @@ model_Base.py:296).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -28,6 +30,7 @@ class TemporalTransformer(nn.Module):
     mlp_dim: int
     out_dim: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True):
@@ -35,14 +38,15 @@ class TemporalTransformer(nn.Module):
         for i in range(self.depth):
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
             attn = MultiHeadAttention(
-                self.dim, self.heads, dropout=self.dropout, name=f"attn_{i}"
+                self.dim, self.heads, dropout=self.dropout, dtype=self.dtype,
+                name=f"attn_{i}"
             )(x, x, x, key_mask=mask, deterministic=deterministic)
             x = attn + x
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
-            h = nn.Dense(self.mlp_dim, name=f"ff_fc1_{i}")(x)
+            h = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff_fc1_{i}")(x)
             h = nn.gelu(h, approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = nn.Dense(self.dim, name=f"ff_fc2_{i}")(h)
+            h = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_fc2_{i}")(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             x = h + x
         return nn.Dense(self.out_dim, name="final_linear")(x)

@@ -106,7 +106,10 @@ def test_full_model_parity():
 
     # Export weights -> our params.
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    import dataclasses
     cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
     params = import_uni_state_dict(state, cfg)
 
     model = MaDe(cfg)
