@@ -99,6 +99,20 @@ class DetrMLP(nn.Module):
         return x
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only projection (kernel/bias named like nn.Dense) so packed
+    QKV computation can reuse the standard checkpoint layout."""
+
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", self.kernel_init, (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with torch nn.MultiheadAttention numerics.
 
@@ -127,9 +141,40 @@ class MultiHeadAttention(nn.Module):
 
         dense = lambda name: nn.Dense(self.dim, kernel_init=self.kernel_init,
                                       dtype=self.dtype, name=name)
-        q = dense("q_proj")(query)
-        k = dense("k_proj")(key)
-        v = dense("v_proj")(value)
+        if query is key and key is value:
+            # Self-attention fast path: one packed [D, 3D] GEMM instead of
+            # three [D, D] GEMMs.  Params keep the q/k/v_proj names so the
+            # checkpoint tree (and torch import) is unchanged.
+            in_dim = query.shape[-1]
+            wq, bq = _ProjParams(self.dim, self.kernel_init, name="q_proj")(in_dim)
+            wk, bk = _ProjParams(self.dim, self.kernel_init, name="k_proj")(in_dim)
+            wv, bv = _ProjParams(self.dim, self.kernel_init, name="v_proj")(in_dim)
+            w = jnp.concatenate([wq, wk, wv], axis=1)        # [D, 3D]
+            b = jnp.concatenate([bq, bk, bv], axis=0)
+            x = query
+            if self.dtype is not None:
+                x, w = x.astype(self.dtype), w.astype(self.dtype)
+                b = b.astype(self.dtype)
+            qkv = x @ w + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif query is key:
+            # q and k share their input (pos-embedded tokens, DETR layers):
+            # pack those two projections; v runs on its own input.
+            in_dim = query.shape[-1]
+            wq, bq = _ProjParams(self.dim, self.kernel_init, name="q_proj")(in_dim)
+            wk, bk = _ProjParams(self.dim, self.kernel_init, name="k_proj")(in_dim)
+            w = jnp.concatenate([wq, wk], axis=1)
+            b = jnp.concatenate([bq, bk], axis=0)
+            x = query
+            if self.dtype is not None:
+                x, w, b = (x.astype(self.dtype), w.astype(self.dtype),
+                           b.astype(self.dtype))
+            q, k = jnp.split(x @ w + b, 2, axis=-1)
+            v = dense("v_proj")(value)
+        else:
+            q = dense("q_proj")(query)
+            k = dense("k_proj")(key)
+            v = dense("v_proj")(value)
 
         def split(x):
             return x.reshape(*x.shape[:-1], self.heads, head_dim)

@@ -65,11 +65,12 @@ def build_music_index(
         "serving engine drives the towers standalone; shared-temporal "
         "configs need the full MaDe forward")
 
+    cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
     tower = Tower(
         m.dim_input, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
         m.temporal_mlp_dim, m.temporal_dropout,
         with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
-        agg_module=m.agg_module)
+        agg_module=m.agg_module, dtype=cdtype)
     sub = {"params": params["params"]["audio_tower"]}
 
     @jax.jit
@@ -112,11 +113,13 @@ class RetrievalEngine:
         self.sim_block_size = sim_block_size
         m = cfg.model
 
+        cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
         self._video_tower = Tower(
             m.dim_input, m.video_pe_len, m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token,
-            act_after_proj=m.with_act_after_proj, agg_module=m.agg_module)
+            act_after_proj=m.with_act_after_proj, agg_module=m.agg_module,
+            dtype=cdtype)
         self._video_sub = {"params": params["params"]["video_tower"]}
         self._xpool_sub = {"params": params["params"]["xpool_v2m"]}
         self._xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
@@ -161,10 +164,12 @@ class RetrievalEngine:
                 m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
                 m.detr_dec_layers, dropout=m.detr_dropout,
                 pre_norm=m.detr_pre_norm,
-                decoder_self_attn=m.decoder_self_attn)
+                decoder_self_attn=m.decoder_self_attn,
+                dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else None)
             hidden, _ = detr.apply(
                 {"params": p["detr"]}, fused, fused_mask, pos,
                 p["query_embed"], target, deterministic=True)
+            hidden = hidden.astype(jnp.float32)
             logits = hidden[-1] @ p["class_embed"]["kernel"] + p["class_embed"]["bias"]
             h = hidden[-1]
             for i in range(3):
