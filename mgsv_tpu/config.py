@@ -74,6 +74,8 @@ class ModelConfig:
     # activations dominate train-step HBM traffic; recomputing them cuts the
     # isolated chain grad 64.7 -> 24.7 ms at bs=512 on v5e (measured).
     remat_xpool: bool = True
+    # Same idea for the DETR stack's [B, H, L, L] attention matrices.
+    remat_detr: bool = False
     temperature_init_value: float = 3e-2  # script TEMP=3e-2 (logit_scale init, model_Uni.py:29)
 
     # Moment-detection fusion + DETR — model_Uni.py:206-227, music_detr/transformer.py:325-335

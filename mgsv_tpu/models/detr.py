@@ -144,6 +144,9 @@ class DetrTransformer(nn.Module):
     pre_norm: bool = False
     decoder_self_attn: bool = False
     dtype: Optional[jnp.dtype] = None
+    # Recompute each layer in backward instead of saving its activations
+    # (notably the [B, H, L, L] attention matrices).
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -157,12 +160,17 @@ class DetrTransformer(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         bs = src.shape[0]
 
+        enc_cls = (nn.remat(DetrEncoderLayer, static_argnums=(4,))
+                   if self.remat_layers else DetrEncoderLayer)
+        dec_cls = (nn.remat(DetrDecoderLayer, static_argnums=(6,))
+                   if self.remat_layers else DetrDecoderLayer)
+
         memory = src
         for i in range(self.enc_layers):
-            memory = DetrEncoderLayer(
+            memory = enc_cls(
                 self.dim, self.heads, self.ffn_dim, self.dropout,
                 pre_norm=self.pre_norm, dtype=self.dtype, name=f"enc_{i}",
-            )(memory, mask, pos, deterministic=deterministic)
+            )(memory, mask, pos, deterministic)
         # No final encoder LN in the post-norm default (transformer.py:34).
         if self.pre_norm and self.enc_layers > 0:
             memory = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(memory)
@@ -173,11 +181,11 @@ class DetrTransformer(nn.Module):
         decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         intermediate = []
         for i in range(self.dec_layers):
-            tgt = DetrDecoderLayer(
+            tgt = dec_cls(
                 self.dim, self.heads, self.ffn_dim, self.dropout,
                 pre_norm=self.pre_norm, self_attn=self.decoder_self_attn,
                 dtype=self.dtype, name=f"dec_{i}",
-            )(tgt, memory, mask, pos, query_pos, deterministic=deterministic)
+            )(tgt, memory, mask, pos, query_pos, deterministic)
             # return_intermediate: each layer's output through the shared
             # final norm (transformer.py:135-141).
             intermediate.append(decoder_norm(tgt))

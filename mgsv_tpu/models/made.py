@@ -206,7 +206,8 @@ class MaDe(nn.Module):
         hidden, memory = DetrTransformer(
             d, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers, m.detr_dec_layers,
             dropout=m.detr_dropout, pre_norm=m.detr_pre_norm,
-            decoder_self_attn=m.decoder_self_attn, dtype=cdtype, name="detr",
+            decoder_self_attn=m.decoder_self_attn, dtype=cdtype,
+            remat_layers=m.remat_detr, name="detr",
         )(fused, fused_mask, pos, query_embed, target, deterministic=deterministic)
         hidden = hidden.astype(jnp.float32)
         memory = memory.astype(jnp.float32)
