@@ -1,0 +1,54 @@
+"""Config system: overrides, derived values, serialization."""
+
+import json
+
+import pytest
+
+from mgsv_tpu.config import Config
+from mgsv_tpu.cli.train import parse_overrides
+
+
+def test_defaults_are_paper_config():
+    cfg = Config()
+    assert cfg.data.max_snippet_num == 96
+    assert cfg.data.max_v_frames == 50
+    assert cfg.model.dim_input == 256
+    assert cfg.model.detr_enc_layers == 2 and cfg.model.detr_dec_layers == 6
+    assert cfg.model.temperature_init_value == pytest.approx(3e-2)
+    assert cfg.loss.ret_loss_weight == 1.0 and cfg.loss.loc_loss_weight == 1.0
+    assert cfg.train.batch_size_train == 512
+    assert cfg.train.warmup_rate == pytest.approx(0.02)
+    assert cfg.loss.foreground_label == 0 and cfg.loss.background_label == 1
+
+
+def test_from_overrides_and_errors():
+    cfg = Config.from_overrides({
+        "data.stride": 5.0, "model.detr_dec_layers": 2,
+        "train.epochs": 7, "loss.ret_loss_weight": 3.0,
+    })
+    assert cfg.data.stride == 5.0
+    assert cfg.data.max_snippet_num == 48      # derived
+    assert cfg.model.detr_dec_layers == 2
+    assert cfg.train.epochs == 7
+    with pytest.raises(KeyError):
+        Config.from_overrides({"bogus.key": 1})
+    with pytest.raises(TypeError):
+        Config.from_overrides({"train.not_a_field": 1})
+
+
+def test_cli_parse_overrides_types():
+    known, ov = parse_overrides([
+        "--train.epochs", "3", "--data.stride", "2.5",
+        "--model.compute_dtype", "float32", "--train.profile", "true",
+    ])
+    assert ov == {"train.epochs": 3, "data.stride": 2.5,
+                  "model.compute_dtype": "float32", "train.profile": True}
+    cfg = Config.from_overrides(ov)
+    assert cfg.train.profile is True
+
+
+def test_to_json_roundtrip_keys():
+    cfg = Config()
+    blob = json.loads(cfg.to_json())
+    assert set(blob) == {"data", "model", "loss", "train"}
+    assert blob["model"]["compute_dtype"] in ("float32", "bfloat16")
