@@ -65,15 +65,20 @@ def extract(args) -> None:
     enc = FrozenEncoders(_load_clip_params(args.clip_ckpt),
                          _load_ast_params(args.ast_ckpt))
 
-    # ---- video frames
+    # ---- video frames (per-row CSV windows — get_clip_frame extracts
+    # exactly [video_start, video_end], rawdata.py:41-92)
+    window_of = {}
+    for vid, s, e in zip(index.video_ids, index.video_start, index.video_end):
+        window_of.setdefault(vid, (float(s), float(e)))
     uniq_videos = list(dict.fromkeys(index.video_ids))
     feats, masks = [], []
     for i in range(0, len(uniq_videos), args.batch):
         chunk = uniq_videos[i:i + args.batch]
         frames, fmask = [], []
         for vid in chunk:
+            start_s, end_s = window_of[vid]
             fr, mk = load_clip_frames(
-                os.path.join(args.frames_root, vid), 0.0, dcfg.max_v_frames,
+                os.path.join(args.frames_root, vid), start_s, end_s,
                 dcfg.max_v_frames, dcfg.image_resolution)
             frames.append(fr); fmask.append(mk)
         emb = np.asarray(enc.encode_frames(np.stack(frames)))

@@ -24,6 +24,8 @@ class CsvIndex:
     m_duration: np.ndarray       # [N] music_total_duration (seconds)
     gt_moment: np.ndarray        # [N, 1, 2] (music_start, music_end) seconds
     spans_target: np.ndarray     # [N, 1, 2] normalized (center, width)
+    video_start: np.ndarray = None   # [N] seconds (raw-frame extraction window)
+    video_end: np.ndarray = None     # [N] seconds
 
     def __len__(self) -> int:
         return len(self.video_ids)
@@ -47,4 +49,6 @@ def load_csv_index(csv_path: str, max_m_duration: float = 240.0) -> CsvIndex:
     spans = np.stack([center, width], axis=-1)[:, None, :].astype(np.float32)
 
     return CsvIndex(video_ids, music_ids, v_dur, m_dur,
-                    gt.astype(np.float32), spans)
+                    gt.astype(np.float32), spans,
+                    video_start=df["video_start"].to_numpy(np.float64).astype(np.float32),
+                    video_end=df["video_end"].to_numpy(np.float64).astype(np.float32))

@@ -128,9 +128,13 @@ def corpus_similarity(
         if (mesh is not None and mesh.devices.size > 1
                 and len(seg_tokens) % mesh.shape[DATA_AXIS] == 0):
             from mgsv_tpu.eval.similarity import xpool_similarity_sharded
+            # fusion_mask=False still ships an all-ones mask (the sharded
+            # path needs a concrete array for its shard specs).
+            shard_mask = (jnp.asarray(seg_masks) if m.fusion_mask
+                          else jnp.ones(seg_masks.shape, jnp.float32))
             return xpool_similarity_sharded(
                 xpool.apply, sub, video, jnp.asarray(seg_tokens),
-                jnp.asarray(seg_masks), mesh,
+                shard_mask, mesh,
                 block_size=min(block_size, len(seg_tokens)))
         return xpool_similarity_blocked(
             xpool.apply, sub, video, jnp.asarray(seg_tokens), mask,

@@ -222,7 +222,14 @@ class MaDe(nn.Module):
                 1, keepdims=True)
             coord = L.DetrMLP(256, 2 if not m.predict_center else 1, 3,
                               name="reg_mlp")(pooled)
-            out["pred_spans_layers"] = nn.sigmoid(coord)[None, :, None, :]
+            coord = nn.sigmoid(coord)[:, None, :]            # [B, 1, 1 or 2]
+            if m.predict_center:
+                # width from video duration — model_Uni.py:291-292
+                width = (v_duration / self.cfg.data.max_m_duration)
+                coord = jnp.concatenate(
+                    [coord, jnp.broadcast_to(width[:, None, None],
+                                             coord.shape[:-1] + (1,))], axis=-1)
+            out["pred_spans_layers"] = coord[None]           # [1, B, 1, 2]
             out["pred_logits_layers"] = jnp.zeros(
                 (1, coord.shape[0], 1, 2), coord.dtype)
         return out

@@ -170,14 +170,22 @@ class RetrievalEngine:
                 {"params": p["detr"]}, fused, fused_mask, pos,
                 p["query_embed"], target, deterministic=True)
             hidden = hidden.astype(jnp.float32)
-            logits = hidden[-1] @ p["class_embed"]["kernel"] + p["class_embed"]["bias"]
-            h = hidden[-1]
-            for i in range(3):
-                w = p["span_embed"][f"layer_{i}"]
-                h = h @ w["kernel"] + w["bias"]
-                if i < 2:
-                    h = jax.nn.relu(h)
-            spans_cw = jax.nn.sigmoid(h)
+            # Apply the SAME head modules as MaDe._detr_heads so serving
+            # cannot drift from training/eval.
+            from mgsv_tpu.models.layers import DetrMLP
+            import flax.linen as fnn
+
+            logits = fnn.Dense(2).apply(
+                {"params": p["class_embed"]}, hidden[-1])
+            span_pred_dim = 1 if m.predict_center else 2
+            spans_cw = jax.nn.sigmoid(DetrMLP(m.dim_input, span_pred_dim, 3).apply(
+                {"params": p["span_embed"]}, hidden[-1]))
+            if m.predict_center:
+                # video duration approximated from the 1 fps frame mask
+                v_dur = frame_mask.sum(axis=-1)
+                width = (v_dur / cfg.data.max_m_duration)[:, None, None]
+                width = jnp.broadcast_to(width, spans_cw.shape[:-1] + (1,))
+                spans_cw = jnp.concatenate([spans_cw, width], axis=-1)
             score = jax.nn.softmax(logits, axis=-1)[..., cfg.loss.foreground_label]
             best = jnp.argmax(score, axis=-1)
             spans_se = span_cw_to_se(spans_cw) * cfg.data.max_m_duration

@@ -170,7 +170,7 @@ class Trainer:
     def eval_epoch(self, epoch: int) -> Dict[str, Any]:
         assert self.val_data is not None and self.state is not None
         res = evaluate(self.model, self.state.params, self.val_data, self.cfg,
-                       eval_step=self.eval_step)
+                       eval_step=self.eval_step, mesh=self.mesh)
         r, l, c = res["retrieval"], res["localization"], res["composite"]
         logger.info(
             "eval %d >>> R@1 %.2f R@5 %.2f R@10 %.2f MdR %.1f MRR %.4f | "
@@ -197,18 +197,24 @@ class Trainer:
             first = next(iter(self.train_data.epoch_batches(
                 self.cfg.train.batch_size_train, shuffle=False)))[0]
             self.init_state(first)
-        target = {
-            "params": jax.device_get(self.state.params),
-            "opt_state": jax.device_get(self.state.opt_state),
-            "step": 0,
-            "epoch": 0,
+        # best_*/epoch_* tags carry params only; "last" also carries
+        # opt_state — restore untyped and take what is present.
+        restored = self.ckpt.restore(tag)
+        replace = {
+            "params": mesh_lib.replicate(self.mesh, restored["params"]),
+            "step": int(restored["step"]),
         }
-        restored = self.ckpt.restore(tag, target=target)
-        self.state = self.state.replace(
-            params=mesh_lib.replicate(self.mesh, restored["params"]),
-            opt_state=mesh_lib.replicate(self.mesh, restored["opt_state"]),
-            step=restored["step"],
-        )
+        if "opt_state" in restored:
+            import jax.tree_util as jtu
+            opt_state = jtu.tree_unflatten(
+                jtu.tree_structure(self.state.opt_state),
+                jtu.tree_leaves(restored["opt_state"]))
+            replace["opt_state"] = mesh_lib.replicate(self.mesh, opt_state)
+        else:
+            logger.warning(
+                "checkpoint %s has no optimizer state; resuming with a fresh "
+                "optimizer", tag)
+        self.state = self.state.replace(**replace)
         logger.info("restored %s at step %d (epoch %d)", tag,
                     int(restored["step"]), int(restored["epoch"]))
         return int(restored["epoch"]) + 1
@@ -244,13 +250,14 @@ class Trainer:
                     "step": int(self.state.step),
                     "epoch": epoch,
                 })
-                if self.tracker.should_stop(
-                        epoch, cfg.train.early_stop_min_epochs,
-                        cfg.train.early_stop_patience):
-                    logger.info("early stop at epoch %d", epoch)
-                    history.append(record)
-                    break
             history.append(record)
+            # Early stop (train-MaDe.py:735-736) — only meaningful when a
+            # validation metric is being tracked.
+            if self.val_data is not None and self.tracker.should_stop(
+                    epoch, cfg.train.early_stop_min_epochs,
+                    cfg.train.early_stop_patience):
+                logger.info("early stop at epoch %d", epoch)
+                break
         with open(os.path.join(self.run_dir, "history.json"), "w") as f:
             json.dump(history, f, indent=2, default=float)
         if self.ckpt:

@@ -67,7 +67,12 @@ def label_params(params: Dict[str, Any], train_query_embed: bool = False):
 
 def make_optimizer(cfg: Config, total_steps: int,
                    train_query_embed: bool = False) -> optax.GradientTransformation:
+    """total_steps: number of MICRO-batches over the run; with gradient
+    accumulation the schedules advance once per k micro-batches, so their
+    horizon is divided accordingly."""
     t = cfg.train
+    k = max(1, t.gradient_accumulation_steps)
+    total_steps = max(1, total_steps // k)
     warmup_steps = int(total_steps * t.warmup_rate)
 
     def group(lr: float):

@@ -164,3 +164,25 @@ def test_predict_center_and_moment_loss_variants(tiny_cfg, tiny_data):
     assert "moment_feats" in out
     loss, _ = total_loss(out, batch["spans_target"], cfg)
     assert np.isfinite(float(loss))
+
+    # regression + predict_center: width channel must also be appended
+    # (model_Uni.py:291-292)
+    cfg_r = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, mml_localization="regression", moment_loss=False,
+            audio_short_cut=False))
+    model_r = MaDe(cfg_r)
+    params_r = model_r.init(
+        jax.random.PRNGKey(0), batch["frame_feats"], batch["frame_mask"],
+        batch["segment_feats"], batch["segment_mask"],
+        v_duration=batch["v_duration"], deterministic=True)
+    out_r = model_r.apply(
+        params_r, batch["frame_feats"], batch["frame_mask"],
+        batch["segment_feats"], batch["segment_mask"],
+        v_duration=batch["v_duration"], deterministic=True)
+    assert out_r["pred_spans_layers"].shape[-1] == 2
+    np.testing.assert_allclose(
+        np.asarray(out_r["pred_spans_layers"][0, :, 0, 1]),
+        np.asarray(batch["v_duration"]) / cfg.data.max_m_duration, atol=1e-6)
+    loss_r, _ = total_loss(out_r, batch["spans_target"], cfg_r)
+    assert np.isfinite(float(loss_r))
