@@ -92,8 +92,10 @@ def flash_attention(
     key_mask: Optional[jnp.ndarray] = None,   # [B, Lk], 1 = valid
     block_q: int = 128,
     block_k: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     b, h, lq, d = q.shape
     lk = k.shape[2]
     lq_p = -(-lq // block_q) * block_q

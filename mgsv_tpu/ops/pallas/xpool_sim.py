@@ -86,10 +86,12 @@ def xpool_sim_fused(
     xpool_params: Dict,           # XPoolTransformer param subtree
     block_v: int = 128,
     block_m: int = 8,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """[V, M] pooled cosine similarity, fused.  Matches
     sim_matrix_music_pooling(video, XPoolTransformer(video, segs, mask))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     p = xpool_params["params"] if "params" in xpool_params else xpool_params
     vcount, d = video_emb.shape
     m, s, _ = seg_tokens.shape

@@ -105,7 +105,11 @@ class RetrievalEngine:
     """Query-time engine: video features -> top-k tracks + moments."""
 
     def __init__(self, model: MaDe, params, cfg: Config, index: MusicIndex,
-                 sim_block_size: int = 256):
+                 sim_block_size: int = 256, use_fused_kernels: bool = False):
+        # use_fused_kernels: route the localization DETR through the fused
+        # Pallas encoder layers (7.9x over the XLA layer on v5e; post-norm
+        # configs only) — opt-in because of kernel compile latency.
+        self.use_fused_kernels = use_fused_kernels and not cfg.model.detr_pre_norm
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -160,15 +164,24 @@ class RetrievalEngine:
             nq = m.num_moment_queries
             target = jnp.broadcast_to(
                 video_emb[:, None, :], (video_emb.shape[0], nq, m.dim_input))
-            detr = DetrTransformer(
-                m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
-                m.detr_dec_layers, dropout=m.detr_dropout,
-                pre_norm=m.detr_pre_norm,
-                decoder_self_attn=m.decoder_self_attn,
-                dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else None)
-            hidden, _ = detr.apply(
-                {"params": p["detr"]}, fused, fused_mask, pos,
-                p["query_embed"], target, deterministic=True)
+            if self.use_fused_kernels:
+                from mgsv_tpu.ops.pallas.detr_fused import detr_forward_fused
+                hidden, _ = detr_forward_fused(
+                    {"params": p["detr"]}, fused.astype(jnp.float32),
+                    fused_mask, pos, p["query_embed"], target,
+                    heads=m.detr_heads, ffn_dim=m.detr_ffn_dim,
+                    enc_layers=m.detr_enc_layers, dec_layers=m.detr_dec_layers,
+                    decoder_self_attn=m.decoder_self_attn)
+            else:
+                detr = DetrTransformer(
+                    m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
+                    m.detr_dec_layers, dropout=m.detr_dropout,
+                    pre_norm=m.detr_pre_norm,
+                    decoder_self_attn=m.decoder_self_attn,
+                    dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else None)
+                hidden, _ = detr.apply(
+                    {"params": p["detr"]}, fused, fused_mask, pos,
+                    p["query_embed"], target, deterministic=True)
             hidden = hidden.astype(jnp.float32)
             # Apply the SAME head modules as MaDe._detr_heads so serving
             # cannot drift from training/eval.
