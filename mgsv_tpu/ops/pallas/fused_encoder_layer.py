@@ -49,7 +49,7 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref,
         v = jnp.dot(x, wv_ref[:],
                     preferred_element_type=jnp.float32) + bv_ref[:]
 
-        mask_row = mask_ref[r]                               # [L]
+        mask_row = mask_ref[r, 0]                            # [L]
         scale = 1.0 / (head_dim ** 0.5)
         ctx_parts = []
         for h in range(heads):
@@ -114,8 +114,8 @@ def fused_encoder_layer(
         in_specs=[
             blk3,                                             # x
             blk3,                                             # pos
-            pl.BlockSpec((block_b, L), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),            # mask
+            pl.BlockSpec((block_b, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # mask [B,1,L]
             rep(wqk.shape), rep(bqk.shape),
             rep(sa["v_proj"]["kernel"].shape), rep(sa["v_proj"]["bias"].shape),
             rep(sa["out_proj"]["kernel"].shape), rep(sa["out_proj"]["bias"].shape),
@@ -133,7 +133,8 @@ def fused_encoder_layer(
             bytes_accessed=2 * x.size * 4,
             transcendentals=bp * heads * L * L,
         ),
-    )(x.astype(jnp.float32), pos.astype(jnp.float32), mask.astype(jnp.float32),
+    )(x.astype(jnp.float32), pos.astype(jnp.float32),
+      mask.astype(jnp.float32)[:, None, :],
       wqk, bqk, sa["v_proj"]["kernel"], sa["v_proj"]["bias"],
       sa["out_proj"]["kernel"], sa["out_proj"]["bias"],
       p["norm1"]["scale"], p["norm1"]["bias"],

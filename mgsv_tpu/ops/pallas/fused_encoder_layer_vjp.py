@@ -103,7 +103,7 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
     for r in range(bb):
         x = x_ref[r]
         pos = pos_ref[r]
-        mask_row = mask_ref[r]
+        mask_row = mask_ref[r, 0]
         g_out = g_ref[r]
 
         # ---------- recompute forward ----------
@@ -153,9 +153,7 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
         dbo += do.sum(axis=0)
         dctx = dot(do, wo.T)
 
-        dq = jnp.zeros((L, d), jnp.float32)
-        dk = jnp.zeros((L, d), jnp.float32)
-        dv = jnp.zeros((L, d), jnp.float32)
+        dq_parts, dk_parts, dv_parts = [], [], []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             p = ps[h]
@@ -163,13 +161,13 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
             dp = jax.lax.dot_general(
                 dctx_h, v[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [L, L]
-            dv_h = dot_t(p, dctx_h)                       # [L, hd]
+            dv_parts.append(dot_t(p, dctx_h))             # [L, hd]
             ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
-            dq_h = dot(ds, k[:, sl]) * scale
-            dk_h = dot_t(ds, q[:, sl]) * scale
-            dq = dq.at[:, sl].set(dq_h)
-            dk = dk.at[:, sl].set(dk_h)
-            dv = dv.at[:, sl].set(dv_h)
+            dq_parts.append(dot(ds, k[:, sl]) * scale)
+            dk_parts.append(dot_t(ds, q[:, sl]) * scale)
+        dq = jnp.concatenate(dq_parts, axis=-1)
+        dk = jnp.concatenate(dk_parts, axis=-1)
+        dv = jnp.concatenate(dv_parts, axis=-1)
 
         dqk = jnp.concatenate([dq, dk], axis=-1)          # [L, 2D]
         dwqk += dot_t(a, dqk)
@@ -243,7 +241,7 @@ def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
         grid=(bp // block_b,),
         in_specs=[
             blk3, blk3,
-            pl.BlockSpec((block_b, L), lambda i: (i, 0),
+            pl.BlockSpec((block_b, 1, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             blk3,
             rep(wqk.shape), rep(bqk.shape),
@@ -257,7 +255,8 @@ def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x.astype(jnp.float32), pos.astype(jnp.float32), mask.astype(jnp.float32),
+    )(x.astype(jnp.float32), pos.astype(jnp.float32),
+      mask.astype(jnp.float32)[:, None, :],
       g.astype(jnp.float32),
       wqk, bqk, sa["v_proj"]["kernel"], sa["v_proj"]["bias"],
       sa["out_proj"]["kernel"], sa["out_proj"]["bias"],
