@@ -179,6 +179,59 @@ class FusedDetrEncoderLayer(nn.Module):
             self.heads, self.block_b, None)
 
 
+class FusedDetrDecoderLayer(nn.Module):
+    """DetrDecoderLayer twin backed by the fused Pallas fwd+bwd kernels
+    (checkpoint-compatible param tree; deterministic math)."""
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    self_attn: bool = True
+    block_b: int = 4
+
+    @nn.compact
+    def __call__(self, tgt, memory, mem_mask, pos, query_pos,
+                 deterministic: bool = True):
+        from mgsv_tpu.models.layers import _ProjParams
+        from mgsv_tpu.ops.pallas.fused_decoder_layer import (
+            fused_decoder_layer_train)
+
+        d = self.dim
+
+        class _Attn(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return {
+                    name: dict(zip(("kernel", "bias"),
+                                   _ProjParams(d, _XAVIER, name=name)(d)))
+                    for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+                }
+
+        class _Norm(nn.Module):
+            @nn.compact
+            def __call__(self):
+                return {"scale": self.param("scale", nn.initializers.ones, (d,)),
+                        "bias": self.param("bias", nn.initializers.zeros, (d,))}
+
+        params = {
+            "multihead_attn": _Attn(name="multihead_attn")(),
+            "norm2": _Norm(name="norm2")(),
+            "norm3": _Norm(name="norm3")(),
+            "linear1": dict(zip(("kernel", "bias"),
+                                _ProjParams(self.ffn_dim, _XAVIER,
+                                            name="linear1")(d))),
+            "linear2": dict(zip(("kernel", "bias"),
+                                _ProjParams(d, _XAVIER, name="linear2")(self.ffn_dim))),
+        }
+        if self.self_attn:
+            params["self_attn"] = _Attn(name="self_attn")()
+            params["norm1"] = _Norm(name="norm1")()
+        return fused_decoder_layer_train(
+            params, tgt.astype(jnp.float32), memory.astype(jnp.float32),
+            mem_mask, pos.astype(jnp.float32), query_pos.astype(jnp.float32),
+            self.heads, self.self_attn, self.block_b, None)
+
+
 class DetrTransformer(nn.Module):
     """Encoder + intermediate-returning decoder — transformer.py:22-81.
 
@@ -242,11 +295,17 @@ class DetrTransformer(nn.Module):
         decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         intermediate = []
         for i in range(self.dec_layers):
-            tgt = dec_cls(
-                self.dim, self.heads, self.ffn_dim, self.dropout,
-                pre_norm=self.pre_norm, self_attn=self.decoder_self_attn,
-                dtype=self.dtype, name=f"dec_{i}",
-            )(tgt, memory, mask, pos, query_pos, deterministic)
+            if use_fused_enc:   # fused_encoder flag covers the whole stack
+                tgt = FusedDetrDecoderLayer(
+                    self.dim, self.heads, self.ffn_dim,
+                    self_attn=self.decoder_self_attn, name=f"dec_{i}",
+                )(tgt, memory, mask, pos, query_pos, deterministic)
+            else:
+                tgt = dec_cls(
+                    self.dim, self.heads, self.ffn_dim, self.dropout,
+                    pre_norm=self.pre_norm, self_attn=self.decoder_self_attn,
+                    dtype=self.dtype, name=f"dec_{i}",
+                )(tgt, memory, mask, pos, query_pos, deterministic)
             # return_intermediate: each layer's output through the shared
             # final norm (transformer.py:135-141).
             intermediate.append(decoder_norm(tgt))
