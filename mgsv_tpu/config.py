@@ -77,9 +77,11 @@ class ModelConfig:
     # Same idea for the DETR stack's [B, H, L, L] attention matrices.
     remat_detr: bool = False
     # Route DETR encoder layers through the fused Pallas fwd+bwd kernels
-    # (~4.8x per layer on v5e). Deterministic math: requires detr_dropout=0
-    # for training (enforced in MaDe); post-norm configs only.
-    fused_detr_encoder: bool = False
+    # (~4.8x per layer on v5e); post-norm configs only.  Training dropout
+    # (detr_dropout>0) runs on the in-kernel TPU PRNG, masks regenerated in
+    # backward (ops/pallas/fused_encoder_layer*.py); on CPU the rate>0 path
+    # uses an equivalent mask-fixed JAX fallback.
+    fused_detr_encoder: bool = True
     temperature_init_value: float = 3e-2  # script TEMP=3e-2 (logit_scale init, model_Uni.py:29)
 
     # Moment-detection fusion + DETR — model_Uni.py:206-227, music_detr/transformer.py:325-335

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mgsv_tpu.models.layers import MultiHeadAttention
@@ -133,12 +134,16 @@ class FusedDetrEncoderLayer(nn.Module):
     Declares the exact same parameter tree (checkpoint-compatible) and
     routes compute through ops/pallas/fused_encoder_layer_vjp — measured
     12.4 ms vs 59 ms XLA fwd+bwd per layer at bs=512/L=146 on v5e.
-    Deterministic math only: valid when dropout is 0 / eval.
+    Training dropout (the reference's four per-layer sites,
+    music_detr/transformer.py:163-168 + MHA weight dropout) runs on the
+    in-kernel TPU PRNG, seeded from the flax "dropout" rng stream; the
+    backward kernel regenerates the identical masks from the same seed.
     """
 
     dim: int
     heads: int
     ffn_dim: int
+    dropout: float = 0.0
     block_b: int = 2
 
     @nn.compact
@@ -174,9 +179,18 @@ class FusedDetrEncoderLayer(nn.Module):
                                 _ProjParams(d, _XAVIER, name="linear2")(ffn))),
             "norm2": _Norm(name="norm2")(),
         }
+        rate = 0.0 if deterministic else self.dropout
+        if rate > 0.0:
+            # One int32 seed per layer call; the kernels fold in program_id
+            # for per-block streams and re-derive masks in backward.
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
         return fused_encoder_layer_train(
             params, src.astype(jnp.float32), mask, pos.astype(jnp.float32),
-            self.heads, self.block_b, None)
+            seed, self.heads, self.block_b, None, rate)
 
 
 class FusedDetrDecoderLayer(nn.Module):
@@ -278,7 +292,8 @@ class DetrTransformer(nn.Module):
         for i in range(self.enc_layers):
             if use_fused_enc:
                 memory = FusedDetrEncoderLayer(
-                    self.dim, self.heads, self.ffn_dim, name=f"enc_{i}",
+                    self.dim, self.heads, self.ffn_dim, dropout=self.dropout,
+                    name=f"enc_{i}",
                 )(memory, mask, pos, deterministic)
             else:
                 memory = enc_cls(

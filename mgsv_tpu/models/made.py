@@ -203,10 +203,6 @@ class MaDe(nn.Module):
         query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0), (nq, d))
 
-        if m.fused_detr_encoder:
-            assert m.detr_dropout == 0.0 or deterministic, (
-                "fused_detr_encoder is deterministic math: set "
-                "model.detr_dropout=0 to train with it")
         hidden, memory = DetrTransformer(
             d, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers, m.detr_dec_layers,
             dropout=m.detr_dropout, pre_norm=m.detr_pre_norm,

@@ -6,9 +6,16 @@ residuals saved are the layer inputs) and produces input + weight gradients
 in one pass, so neither the [B, H, L, L] attention matrices nor the layer
 intermediates ever reach HBM in either direction.
 
-Deterministic math (no dropout): valid as a training layer only when
-detr_dropout == 0 — callers must gate on that.  Matches
-DetrEncoderLayer(pre_norm=False, deterministic=True) numerics and its VJP.
+Dropout: the four per-layer dropout masks (attention weights, attention
+output, post-ReLU FFN, FFN output — music_detr/transformer.py:163-168 plus
+torch MHA's weight dropout) are regenerated inside the backward kernel by
+re-seeding the TPU PRNG with the SAME (seed, global_row, site) tuple as the
+forward kernel before each draw, so the masks match bit-for-bit without
+ever being stored — not even across the recompute and backward halves.  On CPU (interpret) the rate>0 path falls back to
+jax.vjp over the mask-fixed pure-JAX layer with jax.random(seed) masks —
+the same masks the CPU forward used.
+
+Matches DetrEncoderLayer(pre_norm=False) numerics and its VJP.
 
 Weight-gradient accumulation uses the sequential-TPU-grid revisit pattern:
 every program maps the same output block for the dW outputs, zeroing on the
@@ -20,12 +27,15 @@ from __future__ import annotations
 import functools
 from typing import Dict, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mgsv_tpu.ops.pallas.fused_encoder_layer import fused_encoder_layer
+from mgsv_tpu.ops.pallas.fused_encoder_layer import (
+    _keep_mask, fused_encoder_layer, jax_dropout_masks, layer_fwd_with_masks)
 
 NEG_INF = -1e9
 _EPS = 1e-5
@@ -49,7 +59,7 @@ def _ln_bwd(dy, xhat, inv, gamma):
     return dx, dg, db
 
 
-def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
+def _bwd_kernel(x_ref, pos_ref, mask_ref, seed_ref, g_ref,
                 wqk_ref, bqk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
                 g1_ref, b1_ref, w1_ref, c1_ref, w2_ref, c2_ref,
                 g2_ref, b2_ref,
@@ -57,7 +67,7 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
                 dwqk_ref, dbqk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
                 dg1_ref, db1_ref, dw1_ref, dc1_ref, dw2_ref, dc2_ref,
                 dg2_ref, db2_ref,
-                *, heads):
+                *, heads, rate):
     bb, L, d = x_ref.shape
     head_dim = d // heads
     scale = 1.0 / (head_dim ** 0.5)
@@ -101,10 +111,16 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
         a_, b_, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     for r in range(bb):
+        row_tag = pl.program_id(0) * bb + r
         x = x_ref[r]
         pos = pos_ref[r]
         mask_row = mask_ref[r, 0]
         g_out = g_ref[r]
+        seed = seed_ref[0]
+        # Masks are NOT stored: each is regenerated at every use site from
+        # the per-(row, site) PRNG seeding — bit-identical to the forward
+        # kernel's draws, and the VMEM live set stays mask-free.
+        keep = lambda site, shp: _keep_mask(seed, row_tag, site, shp, rate)
 
         # ---------- recompute forward ----------
         a = x + pos
@@ -121,13 +137,23 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
             p = jnp.exp(s)
             p = p / p.sum(axis=-1, keepdims=True)
             ps.append(p)
+            if rate > 0.0:
+                p = p * keep(h, (L, L))
             ctx_parts.append(dot(p, v[:, sl]))
         ctx = jnp.concatenate(ctx_parts, axis=-1)
         o = dot(ctx, wo) + bo
+        if rate > 0.0:
+            o = o * keep(heads, (L, d))
         r1 = x + o
         y1, xhat1, inv1 = _ln_fwd(r1, g1, b1)
         h1 = jnp.maximum(dot(y1, w1) + c1, 0.0)
+        if rate > 0.0:
+            # post-dropout; dropped positions also zero in backward (the
+            # regenerated m3 multiplies dh1), so gating ReLU on h1>0 is exact
+            h1 = h1 * keep(heads + 1, h1.shape)
         h2 = dot(h1, w2) + c2
+        if rate > 0.0:
+            h2 = h2 * keep(heads + 2, (L, d))
         r2 = y1 + h2
         _, xhat2, inv2 = _ln_fwd(r2, g2, b2)
 
@@ -137,9 +163,13 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
         db2 += db2_c
         dy1 = dr2
         dh2 = dr2
-        dw2 += dot_t(h1, dh2)
+        if rate > 0.0:
+            dh2 = dh2 * keep(heads + 2, (L, d))
+        dw2 += dot_t(h1, dh2)     # h1 here is post-dropout (= what fed w2)
         dc2 += dh2.sum(axis=0)
         dh1 = dot(dh2, w2.T)
+        if rate > 0.0:
+            dh1 = dh1 * keep(heads + 1, dh1.shape)
         dz1 = jnp.where(h1 > 0, dh1, 0.0)
         dw1 += dot_t(y1, dz1)
         dc1 += dz1.sum(axis=0)
@@ -149,6 +179,8 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
         db1 += db1_c
         dx_row = dr1
         do = dr1
+        if rate > 0.0:
+            do = do * keep(heads, (L, d))
         dwo += dot_t(ctx, do)
         dbo += do.sum(axis=0)
         dctx = dot(do, wo.T)
@@ -156,12 +188,16 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
         dq_parts, dk_parts, dv_parts = [], [], []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            p = ps[h]
+            p = ps[h]             # pre-dropout softmax probabilities
+            m_h = keep(h, (L, L)) if rate > 0.0 else None
+            pd = p * m_h if rate > 0.0 else p
             dctx_h = dctx[:, sl]
             dp = jax.lax.dot_general(
                 dctx_h, v[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [L, L]
-            dv_parts.append(dot_t(p, dctx_h))             # [L, hd]
+            dv_parts.append(dot_t(pd, dctx_h))            # [L, hd]
+            if rate > 0.0:
+                dp = dp * m_h
             ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
             dq_parts.append(dot(ds, k[:, sl]) * scale)
             dk_parts.append(dot_t(ds, q[:, sl]) * scale)
@@ -195,7 +231,25 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, g_ref,
     db2_ref[...] += db2
 
 
-def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
+def _unflatten_dparams(outs, d):
+    (dx, dpos, dwqk, dbqk, dwv, dbv, dwo, dbo,
+     dg1, db1, dw1, dc1, dw2, dc2, dg2, db2) = outs
+    dparams = {
+        "self_attn": {
+            "q_proj": {"kernel": dwqk[:, :d], "bias": dbqk[:d]},
+            "k_proj": {"kernel": dwqk[:, d:], "bias": dbqk[d:]},
+            "v_proj": {"kernel": dwv, "bias": dbv},
+            "out_proj": {"kernel": dwo, "bias": dbo},
+        },
+        "norm1": {"scale": dg1, "bias": db1},
+        "linear1": {"kernel": dw1, "bias": dc1},
+        "linear2": {"kernel": dw2, "bias": dc2},
+        "norm2": {"scale": dg2, "bias": db2},
+    }
+    return dx, dpos, dparams
+
+
+def _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b, interpret, rate):
     b, L, d = x.shape
     f = p["linear1"]["kernel"].shape[1]
     sa = p["self_attn"]
@@ -237,12 +291,13 @@ def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
     out_specs = [blk3, blk3] + [rep(s.shape) for s in out_shapes[2:]]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads),
+        functools.partial(_bwd_kernel, heads=heads, rate=rate),
         grid=(bp // block_b,),
         in_specs=[
             blk3, blk3,
             pl.BlockSpec((block_b, 1, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # seed
             blk3,
             rep(wqk.shape), rep(bqk.shape),
             rep(sa["v_proj"]["kernel"].shape), rep(sa["v_proj"]["bias"].shape),
@@ -255,8 +310,14 @@ def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        # The rate>0 recompute+backward needs ~37 MB of scoped VMEM at the
+        # paper shape (L=146, F=1024, block_b=2): the PRNG mask temporaries
+        # break Mosaic's default 16 MB stack budget.  v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if rate > 0.0 else None,
     )(x.astype(jnp.float32), pos.astype(jnp.float32),
       mask.astype(jnp.float32)[:, None, :],
+      seed.astype(jnp.int32).reshape((1,)),
       g.astype(jnp.float32),
       wqk, bqk, sa["v_proj"]["kernel"], sa["v_proj"]["bias"],
       sa["out_proj"]["kernel"], sa["out_proj"]["bias"],
@@ -265,45 +326,48 @@ def _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret):
       p["linear2"]["kernel"], p["linear2"]["bias"],
       p["norm2"]["scale"], p["norm2"]["bias"])
 
-    (dx, dpos, dwqk, dbqk, dwv, dbv, dwo, dbo,
-     dg1, db1, dw1, dc1, dw2, dc2, dg2, db2) = outs
-    dparams = {
-        "self_attn": {
-            "q_proj": {"kernel": dwqk[:, :d], "bias": dbqk[:d]},
-            "k_proj": {"kernel": dwqk[:, d:], "bias": dbqk[d:]},
-            "v_proj": {"kernel": dwv, "bias": dbv},
-            "out_proj": {"kernel": dwo, "bias": dbo},
-        },
-        "norm1": {"scale": dg1, "bias": db1},
-        "linear1": {"kernel": dw1, "bias": dc1},
-        "linear2": {"kernel": dw2, "bias": dc2},
-        "norm2": {"scale": dg2, "bias": db2},
-    }
+    dx, dpos, dparams = _unflatten_dparams(outs, d)
     return dx[:b], dpos[:b], dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_encoder_layer_train(params, x, mask, pos, heads=8, block_b=8,
-                              interpret=None):
-    """Differentiable fused layer (deterministic; requires detr_dropout=0)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_encoder_layer_train(params, x, mask, pos, seed, heads=8, block_b=8,
+                              interpret=None, rate=0.0):
+    """Differentiable fused layer; in-kernel PRNG dropout when rate > 0."""
     return fused_encoder_layer(x, mask, pos, params, heads=heads,
-                               block_b=block_b, interpret=interpret)
+                               block_b=block_b, interpret=interpret,
+                               rate=rate, seed=seed)
 
 
-def _train_fwd(params, x, mask, pos, heads, block_b, interpret):
+def _train_fwd(params, x, mask, pos, seed, heads, block_b, interpret, rate):
     out = fused_encoder_layer(x, mask, pos, params, heads=heads,
-                              block_b=block_b, interpret=interpret)
-    return out, (params, x, mask, pos)
+                              block_b=block_b, interpret=interpret,
+                              rate=rate, seed=seed)
+    return out, (params, x, mask, pos, seed)
 
 
-def _train_bwd(heads, block_b, interpret, res, g):
-    params, x, mask, pos = res
+def _train_bwd(heads, block_b, interpret, rate, res, g):
+    params, x, mask, pos, seed = res
     p = params["params"] if "params" in params else params
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    dx, dpos, dp = _bwd_pallas(x, pos, mask, g, p, heads, block_b, interpret)
+    if rate > 0.0 and interpret:
+        # CPU fallback: same jax.random(seed) masks as the CPU forward.
+        b, L, d = x.shape
+        f = p["linear1"]["kernel"].shape[1]
+        masks = jax_dropout_masks(seed, b, L, d, f, heads, rate)
+        _, vjp = jax.vjp(
+            lambda p_, x_, pos_: layer_fwd_with_masks(
+                p_, x_.astype(jnp.float32), mask, pos_.astype(jnp.float32),
+                masks, heads),
+            p, x, pos)
+        dp, dx, dpos = vjp(g)
+    else:
+        dx, dpos, dp = _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b,
+                                   interpret, rate)
     dparams = {"params": dp} if "params" in params else dp
-    return dparams, dx, jnp.zeros_like(mask), dpos
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dparams, dx, jnp.zeros_like(mask), dpos, dseed
 
 
 fused_encoder_layer_train.defvjp(_train_fwd, _train_bwd)

@@ -31,7 +31,9 @@ def test_vjp_matches_xla_grads(b, L, d, heads, block_b):
         return jnp.sum(out * cot)
 
     def loss_fused(p, x_, pos_):
-        out = fused_encoder_layer_train(p, x_, mask, pos_, heads, block_b, True)
+        out = fused_encoder_layer_train(
+            p, x_, mask, pos_, jnp.zeros((1,), jnp.int32),
+            heads, block_b, True, 0.0)
         return jnp.sum(out * cot)
 
     ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
