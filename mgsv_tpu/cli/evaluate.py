@@ -31,6 +31,30 @@ def _load_params(path_or_tag: str, run_dir: str, cfg: Config, example_init):
     return restored["params"]
 
 
+def _epoch_sweep_tags(ckpt, run_dir):
+    """All-epoch checkpoint scan, sorted by epoch — test-MaDe.py:502-528.
+
+    The reference scans `pytorch_model.bin.{0..epochs}` and skips missing
+    files; here both checkpoint formats are swept: orbax `ckpt_epoch_{N}`
+    dirs under --run-dir (written by Trainer when train.save_every_epoch),
+    and reference `pytorch_model.bin.{N}` files when --ckpt is a directory.
+    """
+    import re
+
+    tags = []
+    if ckpt and os.path.isdir(ckpt):
+        for name in os.listdir(ckpt):
+            m = re.fullmatch(r"pytorch_model\.bin\.(\d+)", name)
+            if m:
+                tags.append((int(m.group(1)), os.path.join(ckpt, name)))
+    elif run_dir and os.path.isdir(run_dir):
+        for name in os.listdir(run_dir):
+            m = re.fullmatch(r"ckpt_epoch_(\d+)", name)
+            if m:
+                tags.append((int(m.group(1)), f"epoch_{m.group(1)}"))
+    return [tag for _, tag in sorted(tags)]
+
+
 def main(argv=None):
     from mgsv_tpu.core.cache import enable as _enable_cache
     _enable_cache()
@@ -43,6 +67,11 @@ def main(argv=None):
     parser.add_argument("--run-dir", type=str, default=None)
     parser.add_argument("--test-best", action="store_true",
                         help="sweep best_{r1,iou,r1iou05,r1iou07} checkpoints")
+    parser.add_argument("--sweep-epochs", action="store_true",
+                        help="evaluate every per-epoch checkpoint "
+                             "(test-MaDe.py:502-528): orbax ckpt_epoch_* under "
+                             "--run-dir, or pytorch_model.bin.* when --ckpt "
+                             "is a directory of reference checkpoints")
     parser.add_argument("--split", choices=["val", "test"], default="test")
     parser.add_argument("--save-json", type=str, default=None)
     parser.add_argument("--fused-sim", action="store_true",
@@ -72,8 +101,17 @@ def main(argv=None):
         jax.random.PRNGKey(0), batch["frame_feats"], batch["frame_mask"],
         batch["segment_feats"], batch["segment_mask"])
 
-    tags = (["best_r1", "best_iou", "best_r1iou05", "best_r1iou07"]
-            if known.test_best else [known.ckpt])
+    if known.test_best:
+        tags = ["best_r1", "best_iou", "best_r1iou05", "best_r1iou07"]
+    elif known.sweep_epochs:
+        tags = _epoch_sweep_tags(known.ckpt, known.run_dir)
+        if not tags:
+            raise SystemExit("--sweep-epochs found no per-epoch checkpoints "
+                             f"(ckpt={known.ckpt!r} run_dir={known.run_dir!r})")
+        logging.info("sweeping %d epoch checkpoints: %s ... %s",
+                     len(tags), tags[0], tags[-1])
+    else:
+        tags = [known.ckpt]
     all_results = {}
     for tag in tags:
         if tag is None:

@@ -53,7 +53,7 @@ def _load_ast_params(path: str):
 
 def extract(args) -> None:
     from mgsv_tpu.config import DataConfig
-    from mgsv_tpu.data.audio import extract_snippets, resample_linear
+    from mgsv_tpu.data.audio import extract_snippets, resample_sinc
     from mgsv_tpu.data.csv_index import load_csv_index
     from mgsv_tpu.data.feature_store import PackedFeatureStore
     from mgsv_tpu.data.frames import load_clip_frames
@@ -97,7 +97,7 @@ def extract(args) -> None:
         specs, smask = [], []
         for mid in chunk:
             wav, sr = load_audio(os.path.join(args.audio_root, f"{mid}.wav"))
-            wav = resample_linear(wav, sr, dcfg.sample_rate)
+            wav = resample_sinc(wav, sr, dcfg.sample_rate)
             sp, mk = extract_snippets(
                 wav, dcfg.sample_rate, dcfg.max_m_duration, dcfg.stride,
                 dcfg.filter_sec, dcfg.padding_sec, dcfg.mel_bins,

@@ -25,7 +25,15 @@ def parse_overrides(argv):
                         help="path to a full config JSON to start from")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on a generated synthetic dataset of N rows")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu", "axon"],
+                        help="force the JAX platform in-process (reliable "
+                             "even where sitecustomize ignores JAX_PLATFORMS)")
+    parser.add_argument("--cpu-devices", type=int, default=None,
+                        help="with --platform cpu: number of virtual devices")
     known, rest = parser.parse_known_args(argv)
+    from mgsv_tpu.core.platform import force_platform
+    force_platform(known.platform, known.cpu_devices)
     overrides = {}
     it = iter(rest)
     for key in it:

@@ -170,14 +170,54 @@ def extract_snippets(
     return snippets, mask
 
 
-def resample_linear(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
-    """Simple linear resampler for non-16k inputs.
+def resample_sinc(
+    waveform: np.ndarray,
+    orig_sr: int,
+    new_sr: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> np.ndarray:
+    """Polyphase windowed-sinc resampler — torchaudio.transforms.Resample
+    semantics (the reference resamples with it at
+    dataloader_MGSV_EC_rawdata.py:119-121).
 
-    NOTE: torchaudio uses a windowed-sinc kernel; linear interpolation is an
-    approximation — adequate for feature extraction, and the reference
-    dataset ships 16 kHz-decodable audio paths anyway.  Swap in a polyphase
-    filter here if bit-exact resampling is ever required.
+    Algorithm: reduce the rate pair by their gcd, build `new` phase kernels
+    of a Hann^2-windowed sinc low-passed at `rolloff * min(orig, new)`, and
+    apply them as a strided correlation (one output sample per phase per
+    input block of `orig` samples).  Matches torchaudio's
+    `sinc_interp_hann` output within float tolerance (parity-tested in
+    tests/test_frontend.py).
     """
+    if orig_sr == new_sr:
+        return np.asarray(waveform, np.float32)
+    g = math.gcd(int(orig_sr), int(new_sr))
+    orig, new = int(orig_sr) // g, int(new_sr) // g
+
+    base_freq = min(orig, new) * rolloff
+    width = int(math.ceil(lowpass_filter_width * orig / base_freq))
+    idx = np.arange(-width, width + orig, dtype=np.float64) / orig     # [K]
+    t = np.arange(0, -new, -1, dtype=np.float64)[:, None] / new + idx  # [new, K]
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
+    t *= np.pi
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+    kernels *= window * (base_freq / orig)                             # [new, K]
+
+    wav = np.asarray(waveform, np.float64).reshape(-1)
+    length = len(wav)
+    padded = np.pad(wav, (width, width + orig))
+    k = 2 * width + orig
+    n_blocks = (len(padded) - k) // orig + 1
+    frames = padded[np.arange(k)[None, :] + orig * np.arange(n_blocks)[:, None]]
+    out = (frames @ kernels.T).reshape(-1)           # interleave the phases
+    target_length = int(math.ceil(new * length / orig))
+    return out[:target_length].astype(np.float32)
+
+
+def resample_linear(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
+    """Simple linear resampler — kept as a cheap fallback; `resample_sinc`
+    is the default (torchaudio-compatible) path."""
     if orig_sr == new_sr:
         return np.asarray(waveform, np.float32)
     n_out = int(round(len(waveform) * new_sr / orig_sr))

@@ -63,7 +63,10 @@ def evaluate(
         seg_masks.append(np.asarray(out["segment_mask"])[valid])
         ious.append(np.asarray(out["iou"])[valid])
         pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
-        losses.append(float(out["loss"]))
+        # Weight each batch's loss by its valid-row count so the padded
+        # final batch doesn't skew the epoch average (its in-batch loss
+        # still sees padded rows as extra negatives; full batches dominate).
+        losses.append((float(out["loss"]), k))
         video_ids.extend([v for v, ok in zip(meta.video_ids, valid) if ok])
         music_ids.extend([m for m, ok in zip(meta.music_ids, valid) if ok])
 
@@ -82,7 +85,9 @@ def evaluate(
     com_metrics = M.composite_metrics(ranks, ious)
 
     return {
-        "loss": float(np.mean(losses)) if losses else 0.0,
+        "loss": (float(np.average([l for l, _ in losses],
+                                  weights=[w for _, w in losses]))
+                 if losses else 0.0),
         "retrieval": ret_metrics,
         "localization": loc_metrics,
         "composite": com_metrics,

@@ -62,6 +62,31 @@ def position_embedding_sine(
     return pos.reshape(pos.shape[0], pos.shape[1], -1)
 
 
+class TrainablePositionalEncoding(nn.Module):
+    """Learned position table + LayerNorm + dropout over the input.
+
+    Re-derivation of music_detr/position_encoding.py:10-32 — built upstream
+    by build_position_encoding (:110) but never consumed downstream (dead
+    code); provided for completeness so configs can swap it in for the sine
+    embedding.  out = dropout(LayerNorm(x + pos_table[:L])).
+    """
+
+    max_positions: int
+    dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """x: [B, L, D] with L <= max_positions."""
+        table = self.param(
+            "position_embeddings",
+            nn.initializers.normal(1.0),  # torch nn.Embedding default N(0,1)
+            (self.max_positions, self.dim))
+        h = x + table[None, : x.shape[1]]
+        h = nn.LayerNorm(epsilon=1e-5, name="ln")(h)  # torch LN default eps
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
 class FeedForward(nn.Module):
     """Linear-GELU-Dropout-Linear-Dropout — model_Base.py:22-45."""
 

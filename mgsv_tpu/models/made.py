@@ -84,7 +84,8 @@ class Tower(nn.Module):
         elif self.agg_module == "mlp":
             # EmbeddingNet aggregator (model_Base.py:357-377, :567-569)
             from mgsv_tpu.models.embedding_net import EmbeddingNet
-            x = EmbeddingNet(self.dim, name="embedding_net")(x)
+            x = EmbeddingNet(self.dim, name="embedding_net")(
+                x, deterministic=deterministic)
             x = x * mask[..., None]
 
         if self.with_cls_token:

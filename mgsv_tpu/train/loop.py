@@ -149,8 +149,16 @@ class Trainer:
                             tb.add_scalar(f"train/{key}", float(log[key]),
                                           global_step)
         profiler.close()
-        # one device sync at epoch end
-        loss = float(np.mean([float(x) for x in losses]))
+        # one device sync at epoch end — and a full-coverage finiteness
+        # check over every step (the in-loop check above only samples every
+        # 50th step to avoid a per-step device sync).
+        step_losses = np.asarray([float(x) for x in losses])
+        if not np.isfinite(step_losses).all():
+            bad = int(np.argmax(~np.isfinite(step_losses)))
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} step {bad + 1}: "
+                f"{step_losses[bad]}")
+        loss = float(step_losses.mean())
         ret = float(np.mean([float(x) for x in ret_losses]))
         loc = float(np.mean([float(x) for x in loc_losses]))
         miou = float(np.mean(np.concatenate([np.asarray(x) for x in ious])))

@@ -62,7 +62,17 @@ def label_params(params: Dict[str, Any], train_query_embed: bool = False):
 
     inner = params["params"] if "params" in params else params
     labels = {name: label_for(name) for name in inner}
-    return {"params": labels} if "params" in params else labels
+    if "params" not in params:
+        return labels
+    out = {"params": labels}
+    # Non-param collections (e.g. EmbeddingNet's BatchNorm running buffers in
+    # "batch_stats") are never optimized — label every leaf FROZEN.
+    import jax
+
+    for coll in params:
+        if coll != "params":
+            out[coll] = jax.tree.map(lambda _: FROZEN, params[coll])
+    return out
 
 
 def make_optimizer(cfg: Config, total_steps: int,

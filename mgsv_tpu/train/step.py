@@ -58,24 +58,39 @@ def decode_top_span(outputs: Dict[str, Any], cfg: Config) -> Tuple[jnp.ndarray, 
 
 
 def make_train_step(model: MaDe, cfg: Config):
+    # agg_module="mlp" carries BatchNorm running buffers in a "batch_stats"
+    # collection (models/embedding_net.py); the training step threads them
+    # through mutably and writes the updated buffers back into the state's
+    # variables dict (Adam never touches them — optimizer label FROZEN).
+    has_bn = cfg.model.agg_module == "mlp"
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            out = model.apply(
-                params,
+            apply_args = (
                 batch["frame_feats"], batch["frame_mask"],
                 batch["segment_feats"], batch["segment_mask"],
-                v_duration=batch.get("v_duration"),
-                deterministic=False, rngs={"dropout": step_rng},
             )
+            apply_kw = dict(v_duration=batch.get("v_duration"),
+                            deterministic=False, rngs={"dropout": step_rng})
+            if has_bn:
+                out, updated = model.apply(params, *apply_args,
+                                           mutable=["batch_stats"], **apply_kw)
+            else:
+                out = model.apply(params, *apply_args, **apply_kw)
+                updated = None
             loss, log = total_loss(out, batch["spans_target"], cfg,
                                    music_codes=batch.get("music_codes"))
-            return loss, (log, out)
+            return loss, (log, out, updated)
 
-        (_, (log, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, (log, out, updated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
+        if updated is not None:
+            state = state.replace(
+                params={**state.params, "batch_stats": updated["batch_stats"]})
 
         spans_sec, score = decode_top_span(out, cfg)
         log = dict(log)

@@ -131,3 +131,52 @@ def test_wav_roundtrip(tmp_path):
     data, got_sr = load_wav(path)
     assert got_sr == sr
     np.testing.assert_allclose(data, wav.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("orig_sr,new_sr", [(44100, 16000), (48000, 16000),
+                                            (22050, 16000), (8000, 16000)])
+def test_resample_sinc_matches_torchaudio(orig_sr, new_sr):
+    """Parity with torchaudio's windowed-sinc resampler — the reference's
+    resampling op (dataloader_MGSV_EC_rawdata.py:119-121)."""
+    torchaudio = pytest.importorskip("torchaudio")
+    import torch
+
+    rng = np.random.RandomState(0)
+    t = np.arange(int(orig_sr * 1.3)) / orig_sr
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 3213 * t)
+           + 0.05 * rng.randn(len(t))).astype(np.float32)
+
+    ours = audio.resample_sinc(wav, orig_sr, new_sr)
+    theirs = torchaudio.functional.resample(
+        torch.from_numpy(wav), orig_sr, new_sr).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=0)
+
+
+def test_resample_sinc_identity_and_upsample():
+    wav = np.sin(np.arange(1600) / 10).astype(np.float32)
+    np.testing.assert_array_equal(audio.resample_sinc(wav, 16000, 16000), wav)
+    up = audio.resample_sinc(wav, 8000, 16000)
+    assert up.shape == (3200,)
+    # a band-limited signal survives up-then-down resampling
+    back = audio.resample_sinc(up, 16000, 8000)
+    np.testing.assert_allclose(back[50:-50], wav[50:-50], atol=5e-3)
+
+
+@pytest.mark.parametrize("orig_sr", [44100, 48000, 22050])
+def test_resample_sinc_analytic_sine(orig_sr):
+    """torchaudio isn't installed in this environment, so in addition to the
+    importorskip'd parity test above, check the resampler against the
+    analytically-known answer: a mid-band sine resampled to 16 kHz must be
+    that same sine sampled on the new grid (windowed-sinc reconstruction is
+    near-exact well below the cutoff)."""
+    freq = 1000.0
+    dur = 1.0
+    t_in = np.arange(int(orig_sr * dur)) / orig_sr
+    wav = np.sin(2 * np.pi * freq * t_in).astype(np.float32)
+    out = audio.resample_sinc(wav, orig_sr, 16000)
+    t_out = np.arange(len(out)) / 16000.0
+    expected = np.sin(2 * np.pi * freq * t_out).astype(np.float32)
+    # ignore filter-width edge transients
+    np.testing.assert_allclose(out[100:-100], expected[100:-100], atol=2e-3)

@@ -49,3 +49,26 @@ def test_masked_mean_and_quick_gelu():
     t = torch.tensor(np.asarray(x))
     ref = (t * torch.sigmoid(1.702 * t)).numpy()
     np.testing.assert_allclose(np.asarray(L.quick_gelu(x)), ref, atol=1e-6)
+
+
+def test_trainable_positional_encoding_parity():
+    """vs music_detr/position_encoding.py:10-32 (upstream dead code; weights
+    imported, dropout off)."""
+    import jax
+    from music_detr.position_encoding import TrainablePositionalEncoding as Ref
+
+    torch.manual_seed(0)
+    ref = Ref(max_position_embeddings=16, hidden_size=32, dropout=0.1)
+    ref.eval()
+
+    mod = L.TrainablePositionalEncoding(max_positions=16, dim=32, dropout=0.1)
+    params = {"params": {
+        "position_embeddings": ref.position_embeddings.weight.detach().numpy().copy(),
+        "ln": {"scale": ref.LayerNorm.weight.detach().numpy().copy(),
+               "bias": ref.LayerNorm.bias.detach().numpy().copy()},
+    }}
+    x = np.random.RandomState(0).randn(2, 10, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(mod.apply(params, jnp.asarray(x), deterministic=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
