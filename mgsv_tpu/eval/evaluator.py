@@ -41,9 +41,28 @@ def evaluate(
     mesh=None,
     use_fused_sim: bool = False,
 ) -> Dict[str, Any]:
-    """Returns {"loss", "retrieval", "localization", "composite", "results"}."""
+    """Returns {"loss", "retrieval", "localization", "composite", "results"}.
+
+    With a multi-device `mesh`, the per-batch forward runs as one SPMD
+    program sharded over the dp axis (the reference's DistributedSampler
+    role, dataloaders/data_dataloaders.py:28-44: each device computes its
+    batch shard, XLA gathers outputs) and the corpus similarity is also
+    mesh-sharded.  Single-device behavior is unchanged.
+    """
     batch_size = batch_size or cfg.train.batch_size_val
     eval_step = eval_step or make_eval_step(model, cfg)
+
+    shard = None
+    if mesh is not None and mesh.devices.size > 1:
+        from mgsv_tpu.core import mesh as mesh_lib
+
+        dp = mesh.shape[mesh_lib.DATA_AXIS]
+        # static shapes: every batch (incl. the padded final one) must split
+        # evenly over dp
+        batch_size = -(-batch_size // dp) * dp
+        params = mesh_lib.replicate(mesh, params)
+        sharding = mesh_lib.batch_sharding(mesh)
+        shard = lambda b: {k: jax.device_put(v, sharding) for k, v in b.items()}
 
     video_embs, music_embs = [], []
     seg_tokens, seg_masks = [], []
@@ -53,6 +72,8 @@ def evaluate(
 
     for batch, meta in dataset.epoch_batches(
             batch_size, shuffle=False, drop_last=False):
+        if shard is not None:
+            batch = shard(batch)
         out = eval_step(params, batch)
         valid = meta.valid
         k = int(valid.sum())
