@@ -158,7 +158,23 @@ class MaDe(nn.Module):
             # instead of saving it (config.remat_xpool).
             xpool_cls = (nn.remat(XPoolTransformer, static_argnums=(4,))
                          if m.remat_xpool else XPoolTransformer)
-            if "music" in m.vmr_fusion:
+            # The fused kernel produces the [V, M] similarity directly —
+            # only valid when downstream consumes exactly that (sim-style
+            # vmr losses and no pooled-tensor consumer like
+            # moment_query_type="xpool" or the feature-fuse loss).
+            use_fused_sim = (
+                m.fused_xpool_sim and m.vmr_fusion == "XA-music"
+                and self.cfg.loss.vmr_loss in
+                ("single", "dual_single_loss_fuse", "dual_single_sim_fuse")
+                and m.moment_query_type != "xpool")
+            if use_fused_sim:
+                from mgsv_tpu.models.xpool import FusedXPoolSim
+                out["single_sim"] = FusedXPoolSim(
+                    d, dropout=m.xpool_dropout, name="xpool_v2m",
+                )(video_emb, seg_tokens,
+                  segment_mask if m.fusion_mask else None,
+                  deterministic)                          # [V, M]
+            elif "music" in m.vmr_fusion:
                 out["music_pooled"] = xpool_cls(
                     d, dropout=m.xpool_dropout, name="xpool_v2m",
                 )(video_emb, seg_tokens,

@@ -98,6 +98,99 @@ class XPoolTransformer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="layer_norm3")(out)   # [M, V, D]
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-shaped params without applying them (the fused kernel
+    consumes the raw tensors)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _identity_init, (self.dim, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return kernel, bias
+
+
+class _LnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _CrossAttnProj(nn.Module):
+    """q/k/v projections applied in XLA + raw out_proj tensors, under the
+    same "cross_attn" scope as XPoolAttention (checkpoint-compatible)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, video_n, segs_n):
+        ident = lambda name: nn.Dense(
+            self.dim, kernel_init=_identity_init,
+            bias_init=nn.initializers.zeros, name=name)
+        q = ident("q_proj")(video_n)
+        k = ident("k_proj")(segs_n)
+        v = ident("v_proj")(segs_n)
+        wout, bout = _DenseParams(self.dim, name="out_proj")()
+        return q, k, v, wout, bout
+
+
+class FusedXPoolSim(nn.Module):
+    """Training-path drop-in for XPoolTransformer + sim_matrix_music_pooling
+    backed by the custom-VJP fused kernel (ops/pallas/xpool_sim_vjp.py).
+
+    Returns the [V, M] pooled cosine similarity directly; the [M, V, D]
+    pooled tensor never exists in HBM in either direction.  The param tree
+    is IDENTICAL to XPoolTransformer's, so checkpoints interchange and the
+    optimizer grouping ("xpool_v2m" -> matching lr) is unchanged.
+    """
+
+    dim: int
+    dropout: float = 0.3
+    block_v: int = 128
+    block_m: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jnp.ndarray,                   # [V, D]
+        music_segs: jnp.ndarray,              # [M, S, D]
+        seg_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        import jax
+        import numpy as np
+
+        from mgsv_tpu.ops.pallas.xpool_sim_vjp import _xpool_core
+
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")
+        video_n = ln1(video)
+        segs_n = ln1(music_segs)
+        q, k, v, wout, bout = _CrossAttnProj(
+            self.dim, name="cross_attn")(video_n, segs_n)
+        g2, b2 = _LnParams(self.dim, name="layer_norm2")()
+        wlin, blin = _DenseParams(self.dim, name="linear_proj")()
+        g3, b3 = _LnParams(self.dim, name="layer_norm3")()
+
+        vhat = l2_normalize(video)
+        mask = (seg_mask.astype(jnp.float32) if seg_mask is not None
+                else jnp.ones(music_segs.shape[:2], jnp.float32))
+        rate = 0.0 if deterministic else self.dropout
+        if rate > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                np.iinfo(np.int32).max, jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        sim_mv = _xpool_core(q, k, v, mask, vhat, wout, bout, g2, b2,
+                             wlin, blin, g3, b3, seed, rate,
+                             self.block_v, self.block_m, None)
+        return sim_mv.T                        # [V, M]
+
+
 def sim_matrix_music_pooling(video: jnp.ndarray, pooled: jnp.ndarray) -> jnp.ndarray:
     """Pooled similarity (modules/metrics.py:10-24).
 

@@ -59,6 +59,15 @@ class Trainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             cfg.train.mesh_shape if cfg.train.mesh_shape != (1, 1)
             else (len(jax.devices()), 1))
+        if self.mesh.devices.size > 1 and cfg.model.fused_xpool_sim:
+            # The fused X-Pool kernel is not SPMD-partitioned; multi-device
+            # training keeps the XLA pooled path (identical numerics).
+            logger.info("multi-device mesh: using the XLA X-Pool path "
+                        "(fused_xpool_sim disabled)")
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               fused_xpool_sim=False))
+            self.cfg = cfg
         self.run_dir = run_dir or os.path.join(
             cfg.train.output_dir, cfg.train.name)
         os.makedirs(self.run_dir, exist_ok=True)

@@ -38,13 +38,19 @@ def retrieval_loss(outputs: Dict[str, Any], cfg: Config,
     video, music = outputs["video_emb"], outputs["music_emb"]
     aux: Dict[str, jnp.ndarray] = {}
 
+    def music_pooled_sim():
+        # the fused X-Pool kernel ships the [V, M] similarity directly
+        if "single_sim" in outputs:
+            return outputs["single_sim"]
+        return sim_matrix_music_pooling(video, outputs["music_pooled"])
+
     if lc.vmr_loss == "dual":
         dual_sim = loss_ops.cosine_sim_matrix(video, music)
         loss = loss_ops.clip_loss(dual_sim, scale) * lc.dual_single_loss_weight
     elif lc.vmr_loss == "single":
         sim = jnp.zeros((video.shape[0], music.shape[0]))
-        if "music_pooled" in outputs:
-            sim = sim + sim_matrix_music_pooling(video, outputs["music_pooled"])
+        if "music_pooled" in outputs or "single_sim" in outputs:
+            sim = sim + music_pooled_sim()
         if "video_pooled" in outputs:
             sim = sim + sim_matrix_video_pooling(outputs["video_pooled"], music)
         loss = loss_ops.clip_loss(sim, scale) * lc.dual_single_loss_weight
@@ -54,14 +60,12 @@ def retrieval_loss(outputs: Dict[str, Any], cfg: Config,
     elif lc.vmr_loss == "dual_single_loss_fuse":      # shipped config :254-262
         dual_sim = loss_ops.cosine_sim_matrix(video, music)
         dual = loss_ops.info_nce_loss(dual_sim, scale, music_codes)
-        single_sim = sim_matrix_music_pooling(video, outputs["music_pooled"])
-        single = loss_ops.clip_loss(single_sim, scale)
+        single = loss_ops.clip_loss(music_pooled_sim(), scale)
         loss = dual * 1.0 + single * 1.0
         aux["dual_loss"], aux["single_loss"] = dual, single
     elif lc.vmr_loss == "dual_single_sim_fuse":
         dual_sim = loss_ops.cosine_sim_matrix(video, music)
-        single_sim = sim_matrix_music_pooling(video, outputs["music_pooled"])
-        loss = loss_ops.clip_loss(dual_sim + single_sim, scale) * lc.dual_single_loss_weight
+        loss = loss_ops.clip_loss(dual_sim + music_pooled_sim(), scale) * lc.dual_single_loss_weight
     elif lc.vmr_loss == "dual_single_feature_fuse":
         fused = (outputs["music_pooled"] + music[:, None, :]) * 0.5
         single_sim = sim_matrix_music_pooling(video, fused)

@@ -41,7 +41,9 @@ def test_forward_shapes_and_loss():
     assert out["frame_tokens"].shape == (4, 10, 256)
     assert out["video_emb"].shape == (4, 256)
     assert out["seg_tokens"].shape == (4, 12, 256)
-    assert out["music_pooled"].shape == (4, 4, 256)
+    # fused_xpool_sim (the default) ships the [V, M] similarity directly
+    # instead of the [M, V, D] pooled tensor
+    assert out["single_sim"].shape == (4, 4)
     assert out["pred_logits_layers"].shape == (2, 4, 1, 2)
     assert out["pred_spans_layers"].shape == (2, 4, 1, 2)
     assert out["proj_queries_layers"].shape == (2, 4, 1, 256)
