@@ -1,5 +1,5 @@
-"""Index CLI: build a music index from a feature store + checkpoint, and
-query it.
+"""Index CLI: build a music index from a feature store + checkpoint, query
+it, or serve it over HTTP/JSON.
 
     # build
     python -m mgsv_tpu.cli.index build --ckpt best_r1 --run-dir runs/made \
@@ -9,6 +9,10 @@ query it.
     python -m mgsv_tpu.cli.index query --ckpt best_r1 --run-dir runs/made \
         --index index.npz --video-store features/packed/video_store \
         --video-id 113722188340 --top-k 5
+
+    # serve the index over HTTP (GET /healthz, POST /query)
+    python -m mgsv_tpu.cli.index serve --ckpt best_r1 --run-dir runs/made \
+        --index index.npz --port 8008
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ def main(argv=None):
                         format="%(asctime)s %(levelname)s %(message)s")
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser("mgsv-tpu-index")
-    parser.add_argument("command", choices=["build", "query"])
+    parser.add_argument("command", choices=["build", "query", "serve"])
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--run-dir", default=None)
     parser.add_argument("--music-store", default=None)
@@ -46,6 +50,8 @@ def main(argv=None):
     parser.add_argument("--out", default="index.npz")
     parser.add_argument("--video-id", default=None)
     parser.add_argument("--top-k", type=int, default=5)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8008)
     known, rest = parser.parse_known_args(argv)
     _, overrides = parse_overrides(rest)
     cfg = Config.from_overrides(overrides)
@@ -69,6 +75,13 @@ def main(argv=None):
 
     index = MusicIndex.load(known.index)
     engine = RetrievalEngine(model, params, cfg, index)
+
+    if known.command == "serve":
+        from mgsv_tpu.serve.server import RetrievalServer
+        RetrievalServer(engine, host=known.host, port=known.port,
+                        model_name=cfg.train.name).serve_forever()
+        return
+
     store = PackedFeatureStore(known.video_store)
     vid = known.video_id or store.ids[0]
     row = store.rows([vid])

@@ -144,7 +144,8 @@ class FusedDetrEncoderLayer(nn.Module):
     heads: int
     ffn_dim: int
     dropout: float = 0.0
-    block_b: int = 2
+    block_b: int = 1   # rows per program (bb=1 measured fastest at bs=512)
+    precision: str = "f32"   # "bf16" = bf16 MXU tiles, f32 accumulate
 
     @nn.compact
     def __call__(self, src, mask, pos, deterministic: bool = True):
@@ -190,7 +191,7 @@ class FusedDetrEncoderLayer(nn.Module):
             seed = jnp.zeros((1,), jnp.int32)
         return fused_encoder_layer_train(
             params, src.astype(jnp.float32), mask, pos.astype(jnp.float32),
-            seed, self.heads, self.block_b, None, rate)
+            seed, self.heads, self.block_b, None, rate, self.precision)
 
 
 class FusedDetrDecoderLayer(nn.Module):
@@ -293,6 +294,8 @@ class DetrTransformer(nn.Module):
             if use_fused_enc:
                 memory = FusedDetrEncoderLayer(
                     self.dim, self.heads, self.ffn_dim, dropout=self.dropout,
+                    precision=("bf16" if self.dtype == jnp.bfloat16
+                               else "f32"),
                     name=f"enc_{i}",
                 )(memory, mask, pos, deterministic)
             else:

@@ -150,7 +150,10 @@ class FusedXPoolSim(nn.Module):
 
     dim: int
     dropout: float = 0.3
-    block_v: int = 128
+    # block_v <= 0: pick min(512, padded V) — measured fastest at bs=512
+    # (bwd core 8.5 -> 5.4 ms going 128 -> 512) without over-padding small
+    # eval batches.
+    block_v: int = 0
     block_m: int = 8
 
     @nn.compact
@@ -185,9 +188,12 @@ class FusedXPoolSim(nn.Module):
                 np.iinfo(np.int32).max, jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
+        block_v = self.block_v
+        if block_v <= 0:
+            block_v = min(512, -(-video.shape[0] // 128) * 128)
         sim_mv = _xpool_core(q, k, v, mask, vhat, wout, bout, g2, b2,
                              wlin, blin, g3, b3, seed, rate,
-                             self.block_v, self.block_m, None)
+                             block_v, self.block_m, None)
         return sim_mv.T                        # [V, M]
 
 

@@ -67,18 +67,21 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref, seed_ref,
                         wqk_ref, bqk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
                         g1_ref, b1_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
                         g2_ref, b2_ref, out_ref, *mask_refs,
-                        heads, rate, emit_masks):
+                        heads, rate, emit_masks, mxu_dtype=None):
     bb, L, d = x_ref.shape
     head_dim = d // heads
+    # bf16 MXU tiles: cast matmul operands, accumulate f32 (LN/softmax/
+    # dropout stay f32) — matches the model's compute_dtype story.
+    cast = (lambda t: t) if mxu_dtype is None else (lambda t: t.astype(mxu_dtype))
 
     for r in range(bb):
         row_tag = pl.program_id(0) * bb + r
         x = x_ref[r]                                         # [L, D]
         qk_in = x + pos_ref[r]
-        qk = jnp.dot(qk_in, wqk_ref[:],
+        qk = jnp.dot(cast(qk_in), cast(wqk_ref[:]),
                      preferred_element_type=jnp.float32) + bqk_ref[:]
         q, k = qk[:, :d], qk[:, d:]
-        v = jnp.dot(x, wv_ref[:],
+        v = jnp.dot(cast(x), cast(wv_ref[:]),
                     preferred_element_type=jnp.float32) + bv_ref[:]
 
         mask_row = mask_ref[r, 0]                            # [L]
@@ -87,7 +90,7 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref, seed_ref,
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             s = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                cast(q[:, sl]), cast(k[:, sl]), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale   # [L, L]
             s = jnp.where(mask_row[None, :] != 0, s, NEG_INF)
             s = s - s.max(axis=-1, keepdims=True)
@@ -98,11 +101,11 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref, seed_ref,
                 if emit_masks:
                     mask_refs[0][r, h] = m
                 p = p * m
-            ctx_parts.append(jnp.dot(p, v[:, sl],
+            ctx_parts.append(jnp.dot(cast(p), cast(v[:, sl]),
                                      preferred_element_type=jnp.float32))
         ctx = jnp.concatenate(ctx_parts, axis=-1)            # [L, D]
 
-        attn_out = jnp.dot(ctx, wo_ref[:],
+        attn_out = jnp.dot(cast(ctx), cast(wo_ref[:]),
                            preferred_element_type=jnp.float32) + bo_ref[:]
         if rate > 0.0:
             m2 = _keep_mask(seed_ref[0], row_tag, heads, (L, d), rate)
@@ -111,14 +114,15 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref, seed_ref,
             attn_out = attn_out * m2
         x = _layer_norm(x + attn_out, g1_ref[:], b1_ref[:])
         h1 = jnp.maximum(
-            jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(cast(x), cast(w1_ref[:]),
+                    preferred_element_type=jnp.float32)
             + bb1_ref[:], 0.0)
         if rate > 0.0:
             m3 = _keep_mask(seed_ref[0], row_tag, heads + 1, h1.shape, rate)
             if emit_masks:
                 mask_refs[2][r] = m3
             h1 = h1 * m3
-        h2 = jnp.dot(h1, w2_ref[:],
+        h2 = jnp.dot(cast(h1), cast(w2_ref[:]),
                      preferred_element_type=jnp.float32) + bb2_ref[:]
         if rate > 0.0:
             m4 = _keep_mask(seed_ref[0], row_tag, heads + 2, (L, d), rate)
@@ -194,6 +198,7 @@ def fused_encoder_layer(
     rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,   # int32 [1]; required when rate > 0
     return_masks: bool = False,
+    precision: str = "f32",               # "f32" | "bf16" MXU tiles
 ) -> jnp.ndarray:
     """Forward of DetrEncoderLayer(pre_norm=False); in-kernel dropout when
     rate > 0 (training)."""
@@ -248,9 +253,10 @@ def fused_encoder_layer(
             blk3,
         ]
 
+    mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
     outs = pl.pallas_call(
         functools.partial(_fused_layer_kernel, heads=heads, rate=rate,
-                          emit_masks=emit_masks),
+                          emit_masks=emit_masks, mxu_dtype=mxu_dtype),
         grid=(bp // block_b,),
         in_specs=[
             blk3,                                             # x

@@ -67,10 +67,11 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, seed_ref, g_ref,
                 dwqk_ref, dbqk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
                 dg1_ref, db1_ref, dw1_ref, dc1_ref, dw2_ref, dc2_ref,
                 dg2_ref, db2_ref,
-                *, heads, rate):
+                *, heads, rate, mxu_dtype=None):
     bb, L, d = x_ref.shape
     head_dim = d // heads
     scale = 1.0 / (head_dim ** 0.5)
+    cast = (lambda t: t) if mxu_dtype is None else (lambda t: t.astype(mxu_dtype))
 
     first = pl.program_id(0) == 0
 
@@ -104,11 +105,14 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, seed_ref, g_ref,
     dg2 = jnp.zeros_like(g2)
     db2 = jnp.zeros_like(b2)
 
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    dot = lambda a_, b_: jnp.dot(cast(a_), cast(b_),
+                                 preferred_element_type=jnp.float32)
     dot_t = lambda a_, b_: jax.lax.dot_general(
-        a_, b_, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        cast(a_), cast(b_), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dot_bt = lambda a_, b_: jax.lax.dot_general(
-        a_, b_, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        cast(a_), cast(b_), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     for r in range(bb):
         row_tag = pl.program_id(0) * bb + r
@@ -193,7 +197,7 @@ def _bwd_kernel(x_ref, pos_ref, mask_ref, seed_ref, g_ref,
             pd = p * m_h if rate > 0.0 else p
             dctx_h = dctx[:, sl]
             dp = jax.lax.dot_general(
-                dctx_h, v[:, sl], (((1,), (1,)), ((), ())),
+                cast(dctx_h), cast(v[:, sl]), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [L, L]
             dv_parts.append(dot_t(pd, dctx_h))            # [L, hd]
             if rate > 0.0:
@@ -249,7 +253,8 @@ def _unflatten_dparams(outs, d):
     return dx, dpos, dparams
 
 
-def _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b, interpret, rate):
+def _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b, interpret, rate,
+                precision="f32"):
     b, L, d = x.shape
     f = p["linear1"]["kernel"].shape[1]
     sa = p["self_attn"]
@@ -290,8 +295,10 @@ def _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b, interpret, rate):
     ]
     out_specs = [blk3, blk3] + [rep(s.shape) for s in out_shapes[2:]]
 
+    mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, rate=rate),
+        functools.partial(_bwd_kernel, heads=heads, rate=rate,
+                          mxu_dtype=mxu_dtype),
         grid=(bp // block_b,),
         in_specs=[
             blk3, blk3,
@@ -330,23 +337,26 @@ def _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b, interpret, rate):
     return dx[:b], dpos[:b], dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_encoder_layer_train(params, x, mask, pos, seed, heads=8, block_b=8,
-                              interpret=None, rate=0.0):
-    """Differentiable fused layer; in-kernel PRNG dropout when rate > 0."""
+                              interpret=None, rate=0.0, precision="f32"):
+    """Differentiable fused layer; in-kernel PRNG dropout when rate > 0.
+    precision="bf16" runs every MXU matmul (fwd and bwd) on bf16 tiles with
+    f32 accumulation."""
     return fused_encoder_layer(x, mask, pos, params, heads=heads,
                                block_b=block_b, interpret=interpret,
-                               rate=rate, seed=seed)
+                               rate=rate, seed=seed, precision=precision)
 
 
-def _train_fwd(params, x, mask, pos, seed, heads, block_b, interpret, rate):
+def _train_fwd(params, x, mask, pos, seed, heads, block_b, interpret, rate,
+               precision):
     out = fused_encoder_layer(x, mask, pos, params, heads=heads,
                               block_b=block_b, interpret=interpret,
-                              rate=rate, seed=seed)
+                              rate=rate, seed=seed, precision=precision)
     return out, (params, x, mask, pos, seed)
 
 
-def _train_bwd(heads, block_b, interpret, rate, res, g):
+def _train_bwd(heads, block_b, interpret, rate, precision, res, g):
     params, x, mask, pos, seed = res
     p = params["params"] if "params" in params else params
     if interpret is None:
@@ -364,7 +374,7 @@ def _train_bwd(heads, block_b, interpret, rate, res, g):
         dp, dx, dpos = vjp(g)
     else:
         dx, dpos, dp = _bwd_pallas(x, pos, mask, seed, g, p, heads, block_b,
-                                   interpret, rate)
+                                   interpret, rate, precision)
     dparams = {"params": dp} if "params" in params else dp
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dparams, dx, jnp.zeros_like(mask), dpos, dseed

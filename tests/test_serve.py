@@ -79,3 +79,58 @@ def test_engine_query_and_localization_consistency(tmp_path):
     np.testing.assert_allclose(
         np.asarray(spans_sec)[0], np.asarray(results[0]["moments"][0]),
         atol=0.5)
+
+
+def test_http_server_round_trip(tmp_path):
+    """RetrievalServer: /healthz and /query over a real socket, responses
+    byte-identical in content to a direct engine.query call."""
+    import http.client
+    import json
+
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(1)
+    n_music, s, f = 8, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(1, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((1, f), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats),
+        jnp.asarray(frame_mask), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+    engine = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+    direct = engine.query(frame_feats, frame_mask, top_k=3)
+
+    from mgsv_tpu.serve.server import RetrievalServer
+
+    server = RetrievalServer(engine, host="127.0.0.1", port=0).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health == {"status": "ok", "index_size": n_music,
+                          "model": "made"}
+
+        body = json.dumps({"frame_feats": frame_feats.tolist(),
+                           "frame_mask": frame_mask.tolist(), "top_k": 3})
+        conn.request("POST", "/query", body=body,
+                     headers={"Content-Type": "application/json"})
+        reply = json.loads(conn.getresponse().read())
+        assert reply["results"][0]["music_ids"] == direct[0]["music_ids"]
+        np.testing.assert_allclose(reply["results"][0]["retrieval_scores"],
+                                   direct[0]["retrieval_scores"], rtol=1e-6)
+        np.testing.assert_allclose(reply["results"][0]["moments"],
+                                   direct[0]["moments"], rtol=1e-5)
+
+        # malformed request -> 400, unknown path -> 404
+        conn.request("POST", "/query", body="{not json")
+        assert conn.getresponse().status == 400
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        server.stop()
