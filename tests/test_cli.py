@@ -70,3 +70,65 @@ def test_train_cli_then_epoch_sweep(tmp_path):
     for summary in results.values():
         for key in ("R1", "R10", "mIoU"):
             assert np.isfinite(summary[key]), key
+
+
+def test_convert_reference_features_cli(tmp_path):
+    """`extract_features --convert-from`: a reference-layout feature tree of
+    per-id .pt files becomes packed stores that MgsvDataset reads back
+    bit-exactly (fp16 features, uint8 masks)."""
+    import pandas as pd
+    import torch
+
+    from mgsv_tpu.cli import extract_features as cli_x
+    from mgsv_tpu.data.dataset import MgsvDataset
+
+    rng = np.random.RandomState(0)
+    f, s = 10, 12
+    video_ids = [f"v{i}" for i in range(5)]
+    music_ids = ["m0", "m1", "m0", "m2", "m1"]     # shared tracks dedup
+    src = tmp_path / "Kuai_feature"
+    for sub in ("vit_feature1/vit_feature", "vit_feature1/vit_mask",
+                "ast_feature2p5/ast_feature", "ast_feature2p5/ast_mask"):
+        (src / sub).mkdir(parents=True)
+    vit_ref = {}
+    for v in video_ids:
+        feat = torch.from_numpy(rng.randn(f, 512).astype(np.float32))
+        mask = torch.ones(f)
+        vit_ref[v] = feat
+        torch.save(feat, src / "vit_feature1/vit_feature" / f"{v}.pt")
+        torch.save(mask, src / "vit_feature1/vit_mask" / f"{v}.pt")
+    for m in set(music_ids):
+        torch.save(torch.from_numpy(rng.randn(s, 768).astype(np.float32)),
+                   src / "ast_feature2p5/ast_feature" / f"{m}.pt")
+        torch.save(torch.ones(s), src / "ast_feature2p5/ast_mask" / f"{m}.pt")
+
+    csv = tmp_path / "data.csv"
+    pd.DataFrame({
+        "video_id": video_ids, "music_id": music_ids,
+        "video_start": 0.0, "video_end": 8.0,
+        "music_start": 10.0, "music_end": 30.0,
+        "music_total_duration": 120.0, "video_segment_duration": 8.0,
+        "music_segment_duration": 20.0, "music_path": "/x",
+        "video_total_duration": 8.0, "video_width": 720, "video_height": 1280,
+        "video_total_frames": 240, "video_frame_rate": 30,
+        "video_category": "t",
+    }).to_csv(csv, index=False)
+
+    out = tmp_path / "packed"
+    cli_x.main(["--csv", str(csv), "--out", str(out),
+                "--convert-from", str(src)])
+
+    ds = MgsvDataset.open(str(csv), str(out / "video_store"),
+                          str(out / "music_store"), 240.0)
+    batch, meta = next(iter(ds.epoch_batches(5, shuffle=False,
+                                             drop_last=False)))
+    assert batch["frame_feats"].shape == (5, f, 512)
+    assert batch["segment_feats"].shape == (5, s, 768)
+    # bit-exact fp16 interop with the reference's stored features
+    np.testing.assert_array_equal(
+        batch["frame_feats"][0],
+        vit_ref["v0"].numpy().astype(np.float16).astype(np.float32))
+    # shared music ids map to the same deduped store row
+    assert meta.music_ids == music_ids
+    np.testing.assert_array_equal(batch["segment_feats"][0],
+                                  batch["segment_feats"][2])
