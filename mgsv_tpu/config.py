@@ -198,6 +198,11 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     # Save a per-epoch checkpoint ("epoch_{n}") in addition to best tags.
     save_every_epoch: bool = False
+    # Whole-dataset device residency (data/device_data.py): upload the
+    # packed stores to HBM once and gather batches on device — per-step
+    # host->device traffic drops to a [bs] index array.  "auto" turns it on
+    # for single-accelerator training when the stores fit (< ~6 GB).
+    device_data: str = "auto"        # "auto" | "on" | "off" 
     output_dir: str = "runs"
     name: str = "made"
     log_every: int = 10              # num_display

@@ -70,6 +70,13 @@ def evaluate(
     video_ids, music_ids = [], []
     n_valid = 0
 
+    # Single-device path: the big per-batch tensors (seg_tokens is
+    # [bs, S, D] — ~50 MB/batch at the paper shape) STAY ON DEVICE until
+    # the one corpus-similarity computation; only scalars and [bs]-sized
+    # results cross the (possibly remote) host link per batch.  Padding
+    # rows exist only at the tail of the final batch, so device-side
+    # concatenation + one prefix slice recovers exactly the valid rows.
+    on_device = shard is None
     for batch, meta in dataset.epoch_batches(
             batch_size, shuffle=False, drop_last=False):
         if shard is not None:
@@ -78,10 +85,16 @@ def evaluate(
         valid = meta.valid
         k = int(valid.sum())
         n_valid += k
-        video_embs.append(np.asarray(out["video_emb"])[valid])
-        music_embs.append(np.asarray(out["music_emb"])[valid])
-        seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
-        seg_masks.append(np.asarray(out["segment_mask"])[valid])
+        if on_device:
+            video_embs.append(out["video_emb"])
+            music_embs.append(out["music_emb"])
+            seg_tokens.append(out["seg_tokens"])
+            seg_masks.append(out["segment_mask"])
+        else:
+            video_embs.append(np.asarray(out["video_emb"])[valid])
+            music_embs.append(np.asarray(out["music_emb"])[valid])
+            seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
+            seg_masks.append(np.asarray(out["segment_mask"])[valid])
         ious.append(np.asarray(out["iou"])[valid])
         pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
         # Weight each batch's loss by its valid-row count so the padded
@@ -91,10 +104,11 @@ def evaluate(
         video_ids.extend([v for v, ok in zip(meta.video_ids, valid) if ok])
         music_ids.extend([m for m, ok in zip(meta.music_ids, valid) if ok])
 
-    video_embs = np.concatenate(video_embs)       # [N, D]
-    music_embs = np.concatenate(music_embs)
-    seg_tokens = np.concatenate(seg_tokens)       # [N, S, D]
-    seg_masks = np.concatenate(seg_masks)
+    cat = jnp.concatenate if on_device else np.concatenate
+    video_embs = cat(video_embs)[:n_valid]        # [N, D]
+    music_embs = cat(music_embs)[:n_valid]
+    seg_tokens = cat(seg_tokens)[:n_valid]        # [N, S, D]
+    seg_masks = cat(seg_masks)[:n_valid]
     ious = np.concatenate(ious)
 
     sim = corpus_similarity(
@@ -147,6 +161,12 @@ def corpus_similarity(
         sub = {"params": params["params"]["xpool_v2m"]}
         mask = jnp.asarray(seg_masks) if m.fusion_mask else None
         if use_fused_kernel:
+            from mgsv_tpu.core.mesh import DATA_AXIS
+            if (mesh is not None and mesh.devices.size > 1
+                    and len(seg_tokens) % mesh.shape[DATA_AXIS] == 0):
+                from mgsv_tpu.eval.similarity import xpool_sim_fused_sharded
+                return xpool_sim_fused_sharded(
+                    video, jnp.asarray(seg_tokens), mask, sub, mesh)
             from mgsv_tpu.ops.pallas.xpool_sim import xpool_sim_fused
             return xpool_sim_fused(video, jnp.asarray(seg_tokens), mask, sub)
         xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)

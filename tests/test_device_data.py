@@ -1,0 +1,71 @@
+"""Device-resident dataset: batches must be identical to the host pipeline."""
+
+import numpy as np
+
+from mgsv_tpu.config import DataConfig
+from mgsv_tpu.data import synthetic
+from mgsv_tpu.data.device_data import DeviceResidentData, dataset_device_bytes
+
+
+def _ds(tmp_path):
+    data_cfg = DataConfig(max_v_frames=8, stride=30.0, filter_sec=30.0,
+                          vit_dim=32, ast_dim=48)
+    root = str(tmp_path / "synth")
+    synthetic.generate(root, n_rows=20, n_unique_music=7, data_cfg=data_cfg,
+                       seed=0)
+    return synthetic.open_synthetic(root, data_cfg)
+
+
+def test_batches_match_host_pipeline(tmp_path):
+    ds = _ds(tmp_path)
+    dd = DeviceResidentData(ds)
+    assert len(dd) == len(ds)
+    assert dataset_device_bytes(ds) > 0
+
+    for shuffle, drop_last, bs in [(True, True, 8), (False, False, 8),
+                                   (False, False, 16)]:
+        host = list(ds.epoch_batches(bs, shuffle=shuffle, seed=42, epoch=3,
+                                     drop_last=drop_last))
+        dev = list(dd.epoch_batches(bs, shuffle=shuffle, seed=42, epoch=3,
+                                    drop_last=drop_last))
+        assert len(host) == len(dev)
+        for (hb, hm), (db, dm) in zip(host, dev):
+            assert hm.video_ids == dm.video_ids
+            assert hm.music_ids == dm.music_ids
+            np.testing.assert_array_equal(hm.valid, dm.valid)
+            for key in hb:
+                np.testing.assert_allclose(
+                    np.asarray(db[key]), np.asarray(hb[key]),
+                    atol=1e-6, err_msg=key)
+
+
+def test_trainer_with_forced_device_data(tmp_path):
+    """device_data="on" forces residency even on CPU; training must work and
+    share the uploaded copy between train and val."""
+    import dataclasses
+
+    from mgsv_tpu.config import Config, ModelConfig, TrainConfig
+    from mgsv_tpu.train.loop import Trainer
+
+    ds = _ds(tmp_path)
+    cfg = Config(
+        data=DataConfig(max_v_frames=8, stride=30.0, filter_sec=30.0,
+                        vit_dim=32, ast_dim=48),
+        model=ModelConfig(dim_input=16, temporal_mlp_dim=32, detr_ffn_dim=32,
+                          detr_enc_layers=1, detr_dec_layers=2,
+                          temporal_heads=4, detr_heads=4, contrastive_dim=16,
+                          video_pe_len=16, audio_pe_len=16),
+        train=TrainConfig(epochs=1, batch_size_train=8, batch_size_val=8,
+                          device_data="on", output_dir=str(tmp_path),
+                          mesh_shape=(1, 1)))
+    import jax
+
+    mesh = None
+    from mgsv_tpu.core.mesh import make_mesh
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    trainer = Trainer(cfg, train_data=ds, val_data=ds, mesh=mesh)
+    assert isinstance(trainer.train_data, DeviceResidentData)
+    assert trainer.val_data is trainer.train_data      # shared upload
+    out = trainer.fit()
+    assert np.isfinite(out["history"][0]["train"]["loss"])
+    assert "eval" in out["history"][0]

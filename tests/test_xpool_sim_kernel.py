@@ -48,3 +48,26 @@ def test_fused_no_mask():
     out = xpool_sim_fused(video, segs, None, params, block_v=8, block_m=2,
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_sharded_matches_single_device():
+    """xpool_sim_fused_sharded: music axis sharded over the 8-dev CPU mesh,
+    fused kernel per device — must equal the single-device fused result."""
+    from mgsv_tpu.core.mesh import make_mesh
+    from mgsv_tpu.eval.similarity import xpool_sim_fused_sharded
+
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.randn(12, 16).astype(np.float32))
+    segs = jnp.asarray(rng.randn(16, 4, 16).astype(np.float32))
+    mask = jnp.asarray((rng.rand(16, 4) < 0.8).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    xpool = XPoolTransformer(16)
+    params = xpool.init(jax.random.PRNGKey(0), video, segs, mask)
+
+    single = xpool_sim_fused(video, segs, mask, params, block_v=8, block_m=2,
+                             interpret=True)
+    mesh = make_mesh((8, 1))
+    sharded = xpool_sim_fused_sharded(video, segs, mask, params, mesh,
+                                      block_v=8, block_m=2)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-6)
