@@ -91,6 +91,16 @@ def main(argv=None):
         osp.join(cfg.data.feature_root, "video_store"),
         osp.join(cfg.data.feature_root, "music_store"),
         cfg.data.max_m_duration)
+    # device residency (same policy as the Trainer): upload the stores once
+    # instead of shipping every eval batch from the host — essential for
+    # checkpoint sweeps, where the data is re-iterated per checkpoint
+    if (cfg.train.device_data != "off" and len(jax.devices()) == 1
+            and jax.default_backend() != "cpu"):
+        from mgsv_tpu.data.device_data import (DeviceResidentData,
+                                               dataset_device_bytes)
+        if dataset_device_bytes(data) < 6 << 30:
+            logging.info("device-resident dataset enabled")
+            data = DeviceResidentData(data)
 
     import functools
 
@@ -112,6 +122,11 @@ def main(argv=None):
                      len(tags), tags[0], tags[-1])
     else:
         tags = [known.ckpt]
+    # one jitted eval step shared across the sweep — without this every
+    # checkpoint recompiles the program (minutes each over a remote chip)
+    from mgsv_tpu.train.step import make_eval_step
+    shared_eval_step = make_eval_step(model, cfg)
+
     all_results = {}
     for tag in tags:
         if tag is None:
@@ -123,7 +138,8 @@ def main(argv=None):
             except FileNotFoundError:
                 logging.warning("checkpoint %s missing, skipped", tag)
                 continue
-        res = evaluate(model, params, data, cfg, use_fused_sim=known.fused_sim)
+        res = evaluate(model, params, data, cfg, eval_step=shared_eval_step,
+                       use_fused_sim=known.fused_sim)
         summary = {**res["retrieval"], **res["localization"], **res["composite"]}
         summary.pop("cols", None)
         all_results[tag] = summary

@@ -34,11 +34,11 @@ def dataset_device_bytes(dataset: MgsvDataset) -> int:
     """Upload footprint (storage dtypes) of full device residency."""
     total = 0
     for store in (dataset.video_store, dataset.music_store):
-        for name, spec in store.arrays.items():
+        for spec in store.arrays.values():
             shape = getattr(spec, "shape", None)
             if shape is None:
                 continue
-            itemsize = 2 if name == "feats" else 1
+            itemsize = np.dtype(getattr(spec, "dtype", np.float16)).itemsize
             total += int(np.prod(shape)) * itemsize
     return total
 
@@ -50,13 +50,15 @@ class DeviceResidentData:
         n_m = len(dataset.music_store)
         all_v = np.arange(n_v)
         all_m = np.arange(n_m)
-        # storage dtypes on device; cast to f32 inside the gather program
+        # storage dtypes on device (dtype=None keeps whatever the store
+        # holds — fp16 from the packers, f32 if a store was built that way);
+        # cast to f32 inside the gather program
         self._vf = jnp.asarray(
-            dataset.video_store.gather("feats", all_v, dtype=np.float16))
+            dataset.video_store.gather("feats", all_v, dtype=None))
         self._vm = jnp.asarray(
             dataset.video_store.gather("mask", all_v, dtype=None))
         self._mf = jnp.asarray(
-            dataset.music_store.gather("feats", all_m, dtype=np.float16))
+            dataset.music_store.gather("feats", all_m, dtype=None))
         self._mm = jnp.asarray(
             dataset.music_store.gather("mask", all_m, dtype=None))
         self._video_rows = jnp.asarray(dataset.video_rows, jnp.int32)

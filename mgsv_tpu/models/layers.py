@@ -66,9 +66,10 @@ class TrainablePositionalEncoding(nn.Module):
     """Learned position table + LayerNorm + dropout over the input.
 
     Re-derivation of music_detr/position_encoding.py:10-32 — built upstream
-    by build_position_encoding (:110) but never consumed downstream (dead
-    code); provided for completeness so configs can swap it in for the sine
-    embedding.  out = dropout(LayerNorm(x + pos_table[:L])).
+    by build_position_encoding (:110) but never consumed downstream; kept
+    here at the same completeness level (library utility with a parity
+    test, unused in shipped configs, mirroring upstream).
+    out = dropout(LayerNorm(x + pos_table[:L])).
     """
 
     max_positions: int

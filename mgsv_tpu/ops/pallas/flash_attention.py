@@ -71,8 +71,10 @@ def _flash_kernel(q_ref, kt_ref, v_ref, bias_ref, o_ref, *, mxu_dtype):
     o = jax.lax.dot_general(                                   # [bq, d]
         p.astype(mxu_dtype), v_ref[:].astype(mxu_dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # fully-masked rows (query padding) -> 0
-    o_ref[:] = (o / jnp.where(l > 0, l, 1.0)).astype(o_ref.dtype)
+    # fully-masked rows: after max-subtraction l >= 1 always, so detect
+    # them by the row max sitting at the -inf bias and zero the output
+    dead = m <= NEG_INF * 0.5
+    o_ref[:] = jnp.where(dead, 0.0, o / l).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):

@@ -208,6 +208,10 @@ def fused_encoder_layer(
     b, L, d = x.shape
     f = p["linear1"]["kernel"].shape[1]
 
+    if rate > 0.0 and seed is None:
+        raise ValueError(
+            "fused_encoder_layer: rate > 0 requires an explicit int32 seed "
+            "(a silent default would draw identical dropout masks every step)")
     if rate > 0.0 and interpret:
         # Hardware PRNG is TPU-only; mask-fixed JAX fallback on CPU.
         masks = jax_dropout_masks(seed, b, L, d, f, heads, rate)

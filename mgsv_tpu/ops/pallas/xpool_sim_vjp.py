@@ -46,26 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mgsv_tpu.ops.pallas.fused_encoder_layer import _keep_mask
+from mgsv_tpu.ops.pallas.fused_encoder_layer_vjp import _ln_bwd, _ln_fwd
 
 NEG_INF = -1e9
-_EPS = 1e-5
-
-
-def _ln_fwd(x, gamma, beta):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + _EPS)
-    xhat = (x - mean) * inv
-    return xhat * gamma + beta, xhat, inv
-
-
-def _ln_bwd(dy, xhat, inv, gamma):
-    dg = (dy * xhat).sum(axis=0)
-    db = dy.sum(axis=0)
-    dyg = dy * gamma
-    dx = (dyg - dyg.mean(axis=-1, keepdims=True)
-          - xhat * (dyg * xhat).mean(axis=-1, keepdims=True)) * inv
-    return dx, dg, db
 
 
 _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)

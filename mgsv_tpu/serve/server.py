@@ -72,7 +72,8 @@ def make_handler(engine, model_name: str):
                     frame_mask = frame_mask[None]
                 top_k = int(req.get("top_k", 5))
                 top_k = max(1, min(top_k, len(engine.index.music_ids)))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
                 with lock:

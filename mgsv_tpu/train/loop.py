@@ -63,11 +63,16 @@ class Trainer:
         # device (data/device_data.py).  Biggest win over remote-TPU links
         # (measured: per-batch uploads at bs=512 cost ~8 s/step vs the
         # 55 ms compute); a PCIe-traffic win on local chips too.
-        use_dev_data = cfg.train.device_data == "on" or (
-            cfg.train.device_data == "auto"
-            and self.mesh.devices.size == 1
-            and jax.default_backend() not in ("cpu",)
-            and train_data is not None)
+        if cfg.train.device_data == "on" and self.mesh.devices.size > 1:
+            raise ValueError(
+                "train.device_data='on' requires a single-device mesh "
+                "(batches are assembled on one device); use 'auto'/'off' "
+                "for multi-device training")
+        use_dev_data = train_data is not None and (
+            cfg.train.device_data == "on" or (
+                cfg.train.device_data == "auto"
+                and self.mesh.devices.size == 1
+                and jax.default_backend() not in ("cpu",)))
         if use_dev_data:
             from mgsv_tpu.data.device_data import (DeviceResidentData,
                                                    dataset_device_bytes)
@@ -196,9 +201,18 @@ class Trainer:
         step_losses = np.asarray([float(x) for x in losses])
         if not np.isfinite(step_losses).all():
             bad = int(np.argmax(~np.isfinite(step_losses)))
+            if self.ckpt is not None:
+                # emergency resumable checkpoint: without it, aborting here
+                # would discard the run's optimizer state
+                self.ckpt.save("last", {
+                    "params": jax.device_get(self.state.params),
+                    "opt_state": jax.device_get(self.state.opt_state),
+                    "step": int(self.state.step), "epoch": epoch - 1,
+                })
+                self.ckpt.wait()
             raise FloatingPointError(
                 f"non-finite loss at epoch {epoch} step {bad + 1}: "
-                f"{step_losses[bad]}")
+                f"{step_losses[bad]} (resumable 'last' checkpoint saved)")
         loss = float(step_losses.mean())
         ret = float(np.mean([float(x) for x in ret_losses]))
         loc = float(np.mean([float(x) for x in loc_losses]))
