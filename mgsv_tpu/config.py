@@ -87,9 +87,9 @@ class ModelConfig:
     # tensor never reaches HBM in either direction.  Applies to the
     # XA-music fusion with sim-only vmr losses; other variants keep the
     # XLA pooled path.  Measured on v5e at bs=512: full train step
-    # 69.1 -> 59.1 ms (7.4k -> 8.7k clips/s).  Single-chip training only
-    # (pallas_call is not SPMD-partitioned) — the Trainer auto-disables it
-    # on multi-device meshes.
+    # 69.1 -> 59.1 ms (7.4k -> 8.7k clips/s; 54.9 ms with block tuning).
+    # On multi-device meshes the kernel runs per-device under shard_map
+    # (video axis over dp; models/xpool.py).
     fused_xpool_sim: bool = True
     temperature_init_value: float = 3e-2  # script TEMP=3e-2 (logit_scale init, model_Uni.py:29)
 

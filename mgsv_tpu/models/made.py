@@ -101,6 +101,10 @@ class MaDe(nn.Module):
     """The full dual-task model."""
 
     cfg: Config
+    # Device mesh for kernels that need explicit SPMD handling (the fused
+    # X-Pool similarity runs under shard_map when this is a multi-device
+    # mesh); None = single-device / XLA-partitioned paths only.
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -170,7 +174,8 @@ class MaDe(nn.Module):
             if use_fused_sim:
                 from mgsv_tpu.models.xpool import FusedXPoolSim
                 out["single_sim"] = FusedXPoolSim(
-                    d, dropout=m.xpool_dropout, name="xpool_v2m",
+                    d, dropout=m.xpool_dropout, mesh=self.mesh,
+                    name="xpool_v2m",
                 )(video_emb, seg_tokens,
                   segment_mask if m.fusion_mask else None,
                   deterministic)                          # [V, M]

@@ -155,6 +155,12 @@ class FusedXPoolSim(nn.Module):
     # eval batches.
     block_v: int = 0
     block_m: int = 8
+    # Multi-device: run the kernel per-device under shard_map — video axis
+    # sharded over dp, music/k/v/weights replicated (all-pairs needs the
+    # full music set on every device).  Gradients flow through the
+    # custom_vjp inside shard_map with replicated-input cotangents psum'd
+    # by the transpose (verified exact vs single-device on a CPU mesh).
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -188,12 +194,38 @@ class FusedXPoolSim(nn.Module):
                 np.iinfo(np.int32).max, jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
-        block_v = self.block_v
-        if block_v <= 0:
-            block_v = min(512, -(-video.shape[0] // 128) * 128)
-        sim_mv = _xpool_core(q, k, v, mask, vhat, wout, bout, g2, b2,
-                             wlin, blin, g3, b3, seed, rate,
-                             block_v, self.block_m, None)
+        def pick_bv(n_rows):
+            if self.block_v > 0:
+                return self.block_v
+            return min(512, -(-n_rows // 128) * 128)
+
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from mgsv_tpu.core.mesh import DATA_AXIS
+
+            dp = self.mesh.shape[DATA_AXIS]
+            assert video.shape[0] % dp == 0, (video.shape, dp)
+            block_m = self.block_m
+            rate_ = rate
+
+            def local_core(q_, k_, v_, m_, vh_, *wargs):
+                *ws, seed_ = wargs
+                return _xpool_core(q_, k_, v_, m_, vh_, *ws, seed_, rate_,
+                                   pick_bv(q_.shape[0]), block_m, None)
+
+            sim_mv = jax.shard_map(
+                local_core, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(), P(), P(), P(DATA_AXIS),
+                          *([P()] * 8), P()),
+                out_specs=P(None, DATA_AXIS),
+                check_vma=False,
+            )(q, k, v, mask, vhat, wout, bout, g2, b2, wlin, blin, g3, b3,
+              seed)
+        else:
+            sim_mv = _xpool_core(q, k, v, mask, vhat, wout, bout, g2, b2,
+                                 wlin, blin, g3, b3, seed, rate,
+                                 pick_bv(video.shape[0]), self.block_m, None)
         return sim_mv.T                        # [V, M]
 
 

@@ -89,21 +89,16 @@ class Trainer:
                         DeviceResidentData(val_data))
 
         if self.mesh.devices.size > 1 and cfg.model.fused_xpool_sim:
-            # The fused X-Pool kernel is not SPMD-partitioned; multi-device
-            # training keeps the XLA pooled path (identical numerics).
-            logger.info("multi-device mesh: using the XLA X-Pool path "
-                        "(fused_xpool_sim disabled)")
-            cfg = dataclasses.replace(
-                cfg, model=dataclasses.replace(cfg.model,
-                                               fused_xpool_sim=False))
-            self.cfg = cfg
+            logger.info("multi-device mesh: fused X-Pool similarity runs "
+                        "under shard_map over dp")
         self.run_dir = run_dir or os.path.join(
             cfg.train.output_dir, cfg.train.name)
         os.makedirs(self.run_dir, exist_ok=True)
         self.ckpt = CheckpointManager(self.run_dir) if cfg.train.save_checkpoints else None
         self.tracker = BestMetricTracker()
 
-        self.model = MaDe(cfg)
+        self.model = MaDe(
+            cfg, mesh=self.mesh if self.mesh.devices.size > 1 else None)
         steps_per_epoch = (
             train_data.num_batches(cfg.train.batch_size_train)
             if train_data is not None else 1)

@@ -180,3 +180,36 @@ def test_model_trains_with_fused_xpool_sim():
     step = make_train_step(model, cfg)
     state, log = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(log["loss"]))
+
+
+def test_fused_xpool_shard_map_matches_single_device():
+    """FusedXPoolSim with a multi-device mesh runs the kernel under
+    shard_map (video axis over dp); forward and gradients must match the
+    single-device kernel path."""
+    from mgsv_tpu.core.mesh import make_mesh
+
+    video, segs, mask = _data(v=16, m=12, s=8, d=16)
+    single = FusedXPoolSim(16, dropout=0.0, block_v=8, block_m=4)
+    params = _spread_params(
+        single.init(jax.random.PRNGKey(0), video, segs, mask,
+                    deterministic=True))
+    mesh = make_mesh((8, 1))
+    sharded = FusedXPoolSim(16, dropout=0.0, block_v=8, block_m=4, mesh=mesh)
+    scale = jnp.float32(np.log(1 / 0.03))
+
+    def loss(mod, p, vv, ss):
+        return clip_loss(mod.apply(p, vv, ss, mask, deterministic=True),
+                         scale)
+
+    f1 = float(loss(single, params, video, segs))
+    f2 = float(jax.jit(lambda p, vv, ss: loss(sharded, p, vv, ss))(
+        params, video, segs))
+    np.testing.assert_allclose(f2, f1, rtol=1e-6)
+
+    g1 = jax.grad(lambda p, vv, ss: loss(single, p, vv, ss),
+                  argnums=(0, 1, 2))(params, video, segs)
+    g2 = jax.jit(jax.grad(lambda p, vv, ss: loss(sharded, p, vv, ss),
+                          argnums=(0, 1, 2)))(params, video, segs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
