@@ -133,6 +133,26 @@ def bench_reference_torch(batch_size: int = 32, steps: int = 3) -> float:
     return batch_size * steps / dt
 
 
+def step_efficiency(clips_per_sec: float, batch_size: int = 512):
+    """Achieved model TFLOP/s and MFU from the analytic FLOP count
+    (mgsv_tpu/core/flops.py — a constant of the config)."""
+    import jax
+
+    from mgsv_tpu.config import Config
+    from mgsv_tpu.core.flops import peak_tflops, train_step_flops
+
+    flops = train_step_flops(Config(), batch_size)["train_step"]
+    step_time = batch_size / clips_per_sec
+    tflops = flops / step_time / 1e12
+    kind = jax.devices()[0].device_kind
+    peak = peak_tflops(kind)
+    return {
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4) if peak else None,
+        "device_kind": kind,
+    }
+
+
 def main():
     value = bench_ours()
 
@@ -150,12 +170,17 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=2)
 
-    print(json.dumps({
+    record = {
         "metric": "made_train_clips_per_sec_bs512",
         "value": round(value, 2),
         "unit": "clips/s",
         "vs_baseline": round(value / baseline["clips_per_sec"], 3),
-    }))
+    }
+    try:
+        record.update(step_efficiency(value))
+    except Exception:  # efficiency fields are best-effort extras
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

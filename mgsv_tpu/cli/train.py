@@ -31,9 +31,23 @@ def parse_overrides(argv):
                              "even where sitecustomize ignores JAX_PLATFORMS)")
     parser.add_argument("--cpu-devices", type=int, default=None,
                         help="with --platform cpu: number of virtual devices")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: coordinator address host:port "
+                             "(the reference's init_process_group, "
+                             "train-MaDe.py:25)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     known, rest = parser.parse_known_args(argv)
-    from mgsv_tpu.core.platform import force_platform
-    force_platform(known.platform, known.cpu_devices)
+    if known.coordinator is not None:
+        # multi-host: platform forcing must ride through dist.initialize,
+        # before the backend exists (tests/mp_worker.py is the template)
+        from mgsv_tpu.core import dist
+        dist.initialize(known.coordinator, known.num_processes,
+                        known.process_id, platform=known.platform,
+                        num_cpu_devices=known.cpu_devices)
+    else:
+        from mgsv_tpu.core.platform import force_platform
+        force_platform(known.platform, known.cpu_devices)
     overrides = {}
     it = iter(rest)
     for key in it:

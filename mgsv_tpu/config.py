@@ -212,6 +212,17 @@ class TrainConfig:
     mesh_shape: tuple = (1, 1)       # (dp, mp); (-1, 1) = all devices on dp
     donate_state: bool = True
 
+    # PRNG impl for dropout mask BITS inside the train step: "rbg" (XLA
+    # RngBitGenerator — measured 5.6 ms/step faster than threefry at the
+    # paper dropout rates on v5e) or "threefry" (jax default).  Key
+    # derivation (fold_in per step) is threefry in both cases.
+    dropout_rng: str = "rbg"
+
+    # Reference quirk #7 (SURVEY.md): decoder_query_embed belongs to no
+    # optimizer param group upstream and never updates.  False reproduces
+    # that; True routes it to the detection group and actually trains it.
+    train_query_embed: bool = False
+
     # Profiling: trace a 5-step window of epoch 1 into run_dir/profile.
     profile: bool = False
     # Resume: checkpoint tag to restore before training (e.g. "last").

@@ -185,8 +185,10 @@ def resample_sinc(
     of a Hann^2-windowed sinc low-passed at `rolloff * min(orig, new)`, and
     apply them as a strided correlation (one output sample per phase per
     input block of `orig` samples).  Matches torchaudio's
-    `sinc_interp_hann` output within float tolerance (parity-tested in
-    tests/test_frontend.py).
+    `sinc_interp_hann` semantics within 1e-4 — parity-tested in
+    tests/test_frontend.py against torchaudio itself when installed, and
+    otherwise against committed golden fixtures from an independent float64
+    direct-summation oracle (tests/fixtures/make_resample_fixtures.py).
     """
     if orig_sr == new_sr:
         return np.asarray(waveform, np.float32)

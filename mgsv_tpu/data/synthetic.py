@@ -29,8 +29,19 @@ def generate(
     data_cfg: DataConfig = DataConfig(),
     seed: int = 0,
     latent_dim: int = 16,
+    family_size: int = 1,
+    family_delta: float = 0.35,
 ) -> str:
-    """Writes csv + stores under `root`; returns the csv path."""
+    """Writes csv + stores under `root`; returns the csv path.
+
+    family_size > 1 makes retrieval *non-saturating* (VERDICT r2 weak #3):
+    tracks are grouped into families that share a latent motif, and each
+    member only differs by a small `family_delta`-scaled offset — so at
+    init the GT track is confusable with its siblings (R@1 starts around
+    100/family_size) and climbs only as training learns to amplify the
+    delta directions.  family_size=1 keeps the fully-separable behavior
+    (R@1 saturates immediately; fine for loss-decrease smoke tests).
+    """
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     n_music = n_unique_music or max(2, n_rows // 2)
@@ -43,8 +54,17 @@ def generate(
     music_ids_pool = [f"m{i:06d}" for i in range(n_music)]
     music_of_row = [music_ids_pool[rng.randint(n_music)] for _ in range(n_rows)]
 
-    latent_of_music = {m: rng.randn(latent_dim).astype(np.float32)
-                       for m in music_ids_pool}
+    if family_size > 1:
+        n_fam = -(-n_music // family_size)
+        fam_lat = rng.randn(n_fam, latent_dim).astype(np.float32)
+        latent_of_music = {
+            m: (fam_lat[j // family_size]
+                + family_delta * rng.randn(latent_dim).astype(np.float32))
+            for j, m in enumerate(music_ids_pool)
+        }
+    else:
+        latent_of_music = {m: rng.randn(latent_dim).astype(np.float32)
+                           for m in music_ids_pool}
     proj_v = rng.randn(latent_dim, vd).astype(np.float32)
     proj_a = rng.randn(latent_dim, ad).astype(np.float32)
     span_pattern = rng.randn(ad).astype(np.float32)

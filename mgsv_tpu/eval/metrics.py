@@ -46,6 +46,50 @@ def dedup_rank(sim_matrix: np.ndarray, music_ids: Sequence[str]) -> np.ndarray:
     return ranks
 
 
+def rect_rank(sim_matrix: np.ndarray, col_music_ids: Sequence[str],
+              gt_music_ids: Sequence[str]) -> np.ndarray:
+    """Rank (0-based) of each row's GT track in a [N_videos, N_tracks]
+    similarity over UNIQUE tracks.
+
+    Pod-scale form of `dedup_rank`: columns that share a music id produce
+    identical similarity columns (the pooled similarity depends only on
+    (video, track)), so scoring each unique track once and ranking is
+    exactly the reference's deduplicated ranking (util_test.py:44-68)
+    computed without the duplicated columns — [53k, 4k] instead of
+    [53k, 53k] at MGSV-EC full scale (SURVEY.md §2.7).  Equivalence with
+    dedup_rank is pinned in tests/test_eval_metrics.py.
+    """
+    sim_matrix = np.asarray(sim_matrix, dtype=np.float64)
+    cols = np.asarray(col_music_ids)
+    assert len(np.unique(cols)) == len(cols), "columns must be unique tracks"
+    col_of = {m: j for j, m in enumerate(cols)}
+    gt_col = np.asarray([col_of[m] for m in gt_music_ids])
+    gt_sim = sim_matrix[np.arange(len(gt_col)), gt_col]
+    # rank = #tracks strictly better + #equal-and-earlier-in-sort-order
+    # (matches argsort(kind="stable") + first-occurrence scan semantics)
+    better = (sim_matrix > gt_sim[:, None]).sum(axis=1)
+    ties = (sim_matrix == gt_sim[:, None])
+    tie_before = np.asarray(
+        [ties[i, :gt_col[i]].sum() for i in range(len(gt_col))])
+    return better + tie_before
+
+
+def recall_metrics_rect(
+    sim_matrix: np.ndarray, col_music_ids: Sequence[str],
+    gt_music_ids: Sequence[str],
+) -> Tuple[Dict[str, float], np.ndarray]:
+    """Recall metrics over a rectangular video x unique-track similarity."""
+    ranks = rect_rank(sim_matrix, col_music_ids, gt_music_ids)
+    n = len(ranks)
+    metrics: Dict[str, float] = {}
+    for k in (1, 3, 5, 10, 20, 25, 50, 100):
+        metrics[f"R{k}"] = float(np.sum(ranks < k)) * 100.0 / n
+    metrics["MedianR"] = float(np.median(ranks) + 1)
+    metrics["MeanR"] = float(np.mean(ranks) + 1)
+    metrics["MRR"] = float(np.mean(1.0 / (ranks + 1)))
+    return metrics, ranks
+
+
 def recall_metrics(
     sim_matrix: np.ndarray, music_ids: Sequence[str]
 ) -> Tuple[Dict[str, float], np.ndarray, List[dict]]:

@@ -103,7 +103,8 @@ class Trainer:
             train_data.num_batches(cfg.train.batch_size_train)
             if train_data is not None else 1)
         self.total_steps = steps_per_epoch * cfg.train.epochs
-        self.tx = make_optimizer(cfg, self.total_steps)
+        self.tx = make_optimizer(cfg, self.total_steps,
+                                 train_query_embed=cfg.train.train_query_embed)
         self.train_step = make_train_step(self.model, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
         self.state = None
@@ -117,6 +118,11 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         logger.info("initialized %0.3fM trainable-head params on mesh %s",
                     n_params / 1e6, dict(zip(self.mesh.axis_names, self.mesh.devices.shape)))
+        # Startup trainable/frozen audit (count_parameters /
+        # show_model_architecture, train-MaDe.py:209-304).
+        from mgsv_tpu.train.optimizer import log_param_audit
+        log_param_audit(logger, state.params,
+                        train_query_embed=self.cfg.train.train_query_embed)
         return self.state
 
     def _tb_writer(self):

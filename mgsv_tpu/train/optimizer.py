@@ -75,6 +75,57 @@ def label_params(params: Dict[str, Any], train_query_embed: bool = False):
     return out
 
 
+def audit_param_groups(params: Dict[str, Any],
+                       train_query_embed: bool = False) -> Dict[str, Any]:
+    """Trainable/frozen audit of the param tree by optimizer group.
+
+    The reference prints this at startup so the operator can eyeball that
+    freezing and group assignment happened (count_parameters /
+    show_model_architecture, train-MaDe.py:209-304).  Returns
+    {group: {"params": N, "modules": {name: N}}} over ALL leaves — the four
+    groups partition the tree exactly (asserted in tests/test_optim.py).
+    """
+    import jax
+
+    labels = label_params(params, train_query_embed=train_query_embed)
+    audit: Dict[str, Any] = {
+        g: {"params": 0, "modules": {}}
+        for g in (TEMPORAL, MATCHING, DETECTION, FROZEN)
+    }
+
+    def visit(label_sub, param_sub, name):
+        if isinstance(label_sub, str):
+            n = sum(x.size for x in jax.tree.leaves(param_sub))
+            entry = audit[label_sub]
+            entry["params"] += n
+            entry["modules"][name] = entry["modules"].get(name, 0) + n
+        else:
+            for k in label_sub:
+                visit(label_sub[k], param_sub[k],
+                      k if name in ("params", "") else f"{name}/{k}")
+
+    for coll in labels:
+        visit(labels[coll], params[coll], coll if coll != "params" else "")
+    return audit
+
+
+def log_param_audit(logger, params: Dict[str, Any],
+                    train_query_embed: bool = False) -> Dict[str, Any]:
+    """Log the startup trainable/frozen audit (train-MaDe.py:209-304)."""
+    audit = audit_param_groups(params, train_query_embed=train_query_embed)
+    total = sum(g["params"] for g in audit.values())
+    trainable = total - audit[FROZEN]["params"]
+    logger.info("parameter audit: %.3fM total, %.3fM trainable, %.3fM frozen",
+                total / 1e6, trainable / 1e6, audit[FROZEN]["params"] / 1e6)
+    for group in (TEMPORAL, MATCHING, DETECTION, FROZEN):
+        mods = ", ".join(
+            f"{name} {n/1e6:.3f}M"
+            for name, n in sorted(audit[group]["modules"].items()))
+        logger.info("  group %-9s %8.3fM  [%s]", group,
+                    audit[group]["params"] / 1e6, mods or "-")
+    return audit
+
+
 def make_optimizer(cfg: Config, total_steps: int,
                    train_query_embed: bool = False) -> optax.GradientTransformation:
     """total_steps: number of MICRO-batches over the run; with gradient

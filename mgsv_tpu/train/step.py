@@ -67,6 +67,15 @@ def make_train_step(model: MaDe, cfg: Config):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
         step_rng = jax.random.fold_in(rng, state.step)
+        if cfg.train.dropout_rng == "rbg":
+            # Dropout masks from the XLA RngBitGenerator instead of
+            # threefry: key derivation (fold_in above) stays threefry; only
+            # the per-site mask bits use the fast generator.  Measured on
+            # v5e: tower fwd+bwd at paper dropout 0.8 drops 20.4 -> 14.8 ms
+            # (scripts/bench_towers_tpu.py) — threefry mask generation was
+            # ~9 ms of the step.  Deterministic in (rng, step) either way.
+            step_rng = jax.random.wrap_key_data(
+                jnp.tile(jax.random.key_data(step_rng), 2), impl="rbg")
 
         def loss_fn(params):
             apply_args = (

@@ -21,6 +21,14 @@ semantics, train-MaDe.py:439-637), evaluating BOTH models through the same
 (parity-tested) metric functions.  Writes AB_REPORT.md + ab_report.json.
 
 Usage:  python scripts/ab_trained_behavior.py --epochs 20 --rows 48
+
+Dropout-ON mode (VERDICT r3 item 2): `--dropout paper --ab-seeds 5` trains
+BOTH sides at the paper dropout rates (temporal 0.8 / X-Pool 0.3 / DETR
+0.1 — model_Base.py:296, modules/transformer.py:133, train script) over N
+independent seeds per side, on *confusable-family* synthetic data so R@1
+carries signal, and compares the final metric DISTRIBUTIONS (mean/std per
+side) rather than bitwise trajectories — the learning-dynamics validation
+of the in-kernel PRNG dropout path.  Appends a section to the report.
 """
 
 from __future__ import annotations
@@ -118,12 +126,18 @@ def zero_dropout(module: torch.nn.Module):
             m.dropout = 0.0
 
 
-def our_config(epochs: int, bs: int, seed: int) -> Config:
+def our_config(epochs: int, bs: int, seed: int,
+               dropout: str = "off") -> Config:
     data = DataConfig(max_v_frames=10, stride=20.0, filter_sec=20.0)
     assert data.max_snippet_num == 12
-    model = ModelConfig(compute_dtype="float32", fused_detr_encoder=False,
-                        temporal_dropout=0.0, xpool_dropout=0.0,
-                        detr_dropout=0.0, ca_dropout=0.0)
+    if dropout == "paper":
+        # ModelConfig defaults ARE the paper rates (temporal 0.8, xpool 0.3,
+        # detr 0.1); fused kernels off on CPU anyway (interpret fallback).
+        model = ModelConfig(compute_dtype="float32", fused_detr_encoder=False)
+    else:
+        model = ModelConfig(compute_dtype="float32", fused_detr_encoder=False,
+                            temporal_dropout=0.0, xpool_dropout=0.0,
+                            detr_dropout=0.0, ca_dropout=0.0)
     train = TrainConfig(epochs=epochs, batch_size_train=bs,
                         batch_size_val=bs, seed=seed)
     return Config(data=data, model=model, train=train)
@@ -227,6 +241,138 @@ def our_eval(model, params, dataset, cfg, bs: int):
     return {**res["retrieval"], **res["localization"]}
 
 
+def run_dropout_pair(a, seed: int, dataset, steps_per_epoch: int):
+    """One seed of the dropout-ON A/B: shared torch init, both sides train
+    at the paper dropout rates with their own mask streams; returns
+    (ref_final_metrics, our_final_metrics)."""
+    cfg = our_config(a.epochs, a.bs, seed, dropout="paper")
+    args = ref_args(a.epochs)
+    args.detr_dropout = 0.1
+    torch.manual_seed(seed)
+    ref = Uni_model(args, device=torch.device("cpu"), logger=None)
+    ref.vit_proj = torch.nn.Linear(512, 256)
+    ref.ast_proj = torch.nn.Linear(768, 256)
+    # NO zero_dropout: the torch modules keep their built-in paper rates
+    # (temporal 0.8 model_Base.py:296, X-Pool 0.3 modules/transformer.py:133,
+    # DETR 0.1 via args.detr_dropout).
+    ref.train()
+
+    state_np = {k: v.detach().numpy().copy()
+                for k, v in ref.state_dict().items()}
+    params = import_uni_state_dict(state_np, cfg)
+
+    total_steps = steps_per_epoch * a.epochs
+    warmup_steps = int(total_steps * cfg.train.warmup_rate)
+    model = MaDe(cfg)
+    tx = make_optimizer(cfg, total_steps)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    train_step = make_train_step(model, cfg)
+
+    opt = torch.optim.Adam([
+        {"params": temporal_params(ref), "lr": cfg.train.matching_lr},
+        {"params": ref.get_matching_parameter(), "lr": cfg.train.matching_lr},
+        {"params": ref.get_detection_parameter(), "lr": cfg.train.detection_lr},
+    ])
+    sched = WarmupCosineSchedule(opt, warmup_steps=warmup_steps,
+                                 t_total=total_steps)
+    torch.manual_seed(seed + 10_000)         # the reference's mask stream
+    for epoch in range(1, a.epochs + 1):
+        rng = jax.random.PRNGKey(seed + 977 * epoch)
+        for batch, _meta in dataset.epoch_batches(
+                a.bs, shuffle=True, seed=seed, epoch=epoch):
+            torch_train_step(ref, args, opt, sched, batch)
+            state, _ = train_step(state, batch, rng)
+    rm = torch_eval(ref, args, dataset, a.bs)
+    om = our_eval(model, state.params, dataset, cfg, a.bs)
+    return rm, om
+
+
+def main_dropout(a):
+    """Dropout-ON distribution A/B over N seeds per side."""
+    cfg = our_config(a.epochs, a.bs, 0, dropout="paper")
+    root = os.path.join(a.workdir, "data_fam")
+    synthetic.generate(root, n_rows=a.rows,
+                       n_unique_music=max(2, a.rows // 2),
+                       data_cfg=cfg.data, seed=0,
+                       family_size=4, family_delta=0.35)
+    dataset = synthetic.open_synthetic(root, cfg.data)
+    steps_per_epoch = dataset.num_batches(a.bs)
+
+    keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
+    per_seed = []
+    t0 = time.time()
+    for i in range(a.ab_seeds):
+        seed = 1000 + 13 * i
+        rm, om = run_dropout_pair(a, seed, dataset, steps_per_epoch)
+        rec = {"seed": seed}
+        for k in keys:
+            rec[f"ref_{k}"] = float(rm[k])
+            rec[f"our_{k}"] = float(om[k])
+        per_seed.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    stats = {}
+    for k in keys:
+        rv = np.asarray([r[f"ref_{k}"] for r in per_seed])
+        ov = np.asarray([r[f"our_{k}"] for r in per_seed])
+        # Welch-style compatibility: |mean gap| vs the 2-sigma band of the
+        # combined standard error (+ a small absolute floor for metrics that
+        # collapse to zero variance on tiny data).
+        se = np.sqrt(rv.var(ddof=1) / len(rv) + ov.var(ddof=1) / len(ov))
+        scale = max(1e-9, float(np.mean(np.abs(rv))) )
+        gap = abs(rv.mean() - ov.mean())
+        stats[k] = {
+            "ref_mean": float(rv.mean()), "ref_std": float(rv.std(ddof=1)),
+            "our_mean": float(ov.mean()), "our_std": float(ov.std(ddof=1)),
+            "gap": float(gap), "se": float(se),
+            "compatible": bool(gap <= max(2.0 * se, 0.05 * scale)),
+        }
+    summary = {
+        "mode": "dropout_paper", "seeds": a.ab_seeds, "rows": a.rows,
+        "epochs": a.epochs, "bs": a.bs,
+        "all_compatible": all(s["compatible"] for s in stats.values()),
+        "wall_s": time.time() - t0,
+    }
+    with open(os.path.join(a.workdir, "ab_dropout_report.json"), "w") as f:
+        json.dump({"summary": summary, "stats": stats,
+                   "per_seed": per_seed}, f, indent=2)
+
+    lines = [
+        "",
+        "## Dropout-ON distribution A/B (paper rates, confusable families)",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d')} by `scripts/ab_trained_behavior.py "
+        f"--dropout paper --ab-seeds {a.ab_seeds} --epochs {a.epochs} "
+        f"--rows {a.rows}`.",
+        "",
+        "Both sides train with the PAPER dropout rates active (temporal 0.8,",
+        "X-Pool 0.3, DETR 0.1) from a shared per-seed torch init, each with",
+        "its own mask stream (torch RNG vs our seed-tagged PRNG path), on",
+        "family-confusable synthetic data (R@1 starts ~10 at init, so",
+        "retrieval carries signal).  Final-epoch metric distributions over",
+        f"{a.ab_seeds} seeds per side:",
+        "",
+        "| metric | reference (mean ± std) | ours (mean ± std) | gap | compatible |",
+        "|---|---|---|---|---|",
+    ]
+    for k in keys:
+        s = stats[k]
+        lines.append(
+            f"| {k} | {s['ref_mean']:.3f} ± {s['ref_std']:.3f} "
+            f"| {s['our_mean']:.3f} ± {s['our_std']:.3f} "
+            f"| {s['gap']:.3f} | {'yes' if s['compatible'] else 'NO'} |")
+    lines += [
+        "",
+        f"All metrics compatible: **{summary['all_compatible']}** "
+        f"(2-sigma combined standard error, 5% absolute floor). "
+        f"Wall: {summary['wall_s']:.0f}s.",
+        "",
+    ]
+    with open(a.report, "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(summary))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=48)
@@ -236,7 +382,12 @@ def main():
     p.add_argument("--workdir", type=str, default="/tmp/ab_run")
     p.add_argument("--report", type=str, default="AB_REPORT.md")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--dropout", type=str, default="off",
+                   choices=["off", "paper"])
+    p.add_argument("--ab-seeds", type=int, default=5)
     a = p.parse_args()
+    if a.dropout == "paper":
+        return main_dropout(a)
 
     cfg = our_config(a.epochs, a.bs, a.seed)
     root = os.path.join(a.workdir, "data")

@@ -96,3 +96,33 @@ def test_sharded_similarity_matches_blocked():
     sharded = similarity.xpool_similarity_sharded(
         xpool.apply, params, video, segs, mask, mesh, block_size=4)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(blocked), atol=1e-5)
+
+
+def test_rect_rank_equals_dedup_rank():
+    """[N_videos, N_unique_tracks] ranking == the reference's deduplicated
+    ranking over the square [N, N] matrix with duplicated-track columns —
+    the identity that makes 53k x 4k pod-scale retrieval exact
+    (SURVEY.md §2.7; util_test.py:44-68)."""
+    from mgsv_tpu.eval.metrics import (dedup_rank, recall_metrics,
+                                       recall_metrics_rect, rect_rank)
+
+    rng = np.random.RandomState(0)
+    n_rows, n_tracks = 40, 12
+    track_ids = [f"m{j}" for j in range(n_tracks)]
+    gt = [track_ids[rng.randint(n_tracks)] for _ in range(n_rows)]
+    # ensure every track appears at least once as a GT (columns of the
+    # square matrix are the per-row GT tracks)
+    gt[:n_tracks] = track_ids
+
+    rect = rng.randn(n_rows, n_tracks)          # video x unique-track sims
+    col = {m: j for j, m in enumerate(track_ids)}
+    square = rect[:, [col[m] for m in gt]]      # duplicate columns per row
+
+    r_rect = rect_rank(rect, track_ids, gt)
+    r_square = dedup_rank(square, gt)
+    np.testing.assert_array_equal(r_rect, r_square)
+
+    m_rect, _ = recall_metrics_rect(rect, track_ids, gt)
+    m_square, _, _ = recall_metrics(square, gt)
+    for k in ("R1", "R5", "R10", "MedianR", "MRR"):
+        assert m_rect[k] == m_square[k], k

@@ -170,3 +170,48 @@ def test_train_step_fused_dropout_integration():
     assert float(log1["loss"]) == float(log1b["loss"])
     _, log2 = step(fresh_state(), sharded, jax.random.PRNGKey(2))
     assert float(log2["loss"]) != float(log1["loss"])
+
+
+def test_fallback_mask_statistics():
+    """Keep-rate and independence of the CPU fallback dropout masks across
+    the (site, row, seed) tag space — the statistical contract the TPU
+    hardware-PRNG masks are held to on-chip by
+    scripts/validate_prng_stats_tpu.py (pltpu.prng_* has no CPU interpret
+    lowering, so the hardware stream itself can only be checked there)."""
+    from mgsv_tpu.ops.pallas.xpool_sim_vjp import _jax_dropout_mask
+
+    def pearson(a, b):
+        a = a.reshape(-1).astype(np.float64) - a.mean()
+        b = b.reshape(-1).astype(np.float64) - b.mean()
+        den = np.sqrt((a * a).sum() * (b * b).sum())
+        return float((a * b).sum() / den)
+
+    b, L, d, f, heads = 8, 24, 64, 128, 4
+    for rate in (0.1, 0.3, 0.8):
+        keep = 1.0 - rate
+        masks = jax_dropout_masks(jnp.asarray([3], jnp.int32).reshape(()),
+                                  b, L, d, f, heads, rate)
+        pooled = np.concatenate([np.asarray(m).reshape(-1) > 0
+                                 for m in masks.values()])
+        n = pooled.size
+        assert abs(pooled.mean() - keep) <= 5 * np.sqrt(keep * rate / n)
+        # per-site rates within their own CI
+        for name, m in masks.items():
+            mm = np.asarray(m) > 0
+            assert abs(mm.mean() - keep) <= 5 * np.sqrt(keep * rate / mm.size), name
+        # independence between sites (same seed, different draw)
+        a = np.asarray(masks["ffn2"]) > 0
+        bb = np.asarray(masks["attn_out"]) > 0
+        n2 = min(a.size, bb.size)
+        assert abs(pearson(a.reshape(-1)[:n2], bb.reshape(-1)[:n2])) <= 5 / np.sqrt(n2)
+        # independence between seeds at the same site
+        masks2 = jax_dropout_masks(jnp.asarray([4], jnp.int32).reshape(()),
+                                   b, L, d, f, heads, rate)
+        a2 = np.asarray(masks2["ffn2"]) > 0
+        assert abs(pearson(a.reshape(-1), a2.reshape(-1))) <= 5 / np.sqrt(a.size)
+
+        # xpool fallback mask: rate + row/seed independence
+        xm = np.asarray(_jax_dropout_mask(
+            jnp.asarray([9], jnp.int32), 16, 32, d, rate)) > 0
+        assert abs(xm.mean() - keep) <= 5 * np.sqrt(keep * rate / xm.size)
+        assert abs(pearson(xm[0], xm[1])) <= 5 / np.sqrt(xm[0].size)

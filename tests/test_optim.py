@@ -91,6 +91,54 @@ def test_param_groups_cover_model_and_freeze_query_embed():
     assert labels2["params"]["query_embed"] == "detection"
 
 
+def test_param_audit_partitions_tree():
+    """The startup audit's 4 groups partition the param tree exactly
+    (the reference's count_parameters audit, train-MaDe.py:209-304)."""
+    from mgsv_tpu.models.made import MaDe
+    from mgsv_tpu.train.optimizer import audit_param_groups
+    import dataclasses
+    import logging
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, vit_dim=16, ast_dim=24,
+                                 max_v_frames=4, stride=60.0, filter_sec=60.0),
+        model=dataclasses.replace(
+            cfg.model, dim_input=8, temporal_mlp_dim=16, detr_ffn_dim=16,
+            temporal_heads=2, detr_heads=2, detr_enc_layers=1,
+            detr_dec_layers=1, contrastive_dim=8, video_pe_len=8,
+            audio_pe_len=8),
+    )
+    model = MaDe(cfg)
+    rng = np.random.RandomState(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(2, 4, 16).astype(np.float32)), jnp.ones((2, 4)),
+        jnp.asarray(rng.randn(2, 4, 24).astype(np.float32)), jnp.ones((2, 4)),
+        deterministic=True)
+
+    audit = audit_param_groups(params)
+    total = sum(x.size for x in jax.tree.leaves(params))
+    # the 3 optimizer groups + frozen partition the whole tree
+    assert sum(g["params"] for g in audit.values()) == total
+    assert set(audit) == {"temporal", "matching", "detection", "frozen"}
+    assert audit["frozen"]["modules"] == {
+        "query_embed": params["params"]["query_embed"].size}
+    assert audit["temporal"]["params"] > 0
+    assert audit["matching"]["params"] > 0
+    assert audit["detection"]["params"] > 0
+    # train_query_embed moves the quirk param into detection
+    audit2 = audit_param_groups(params, train_query_embed=True)
+    assert audit2["frozen"]["params"] == 0
+    assert (audit2["detection"]["params"]
+            == audit["detection"]["params"] + audit["frozen"]["params"])
+
+    # the log helper runs and returns the same audit
+    from mgsv_tpu.train.optimizer import log_param_audit
+    assert log_param_audit(logging.getLogger("test"), params) == audit
+
+
 def test_label_params_rejects_unknown_subtree():
     with pytest.raises(KeyError):
         label_params({"params": {"mystery_module": {}}})

@@ -72,6 +72,42 @@ def test_training_learns_and_checkpoints(tiny_cfg, tiny_data, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
+def test_confusable_retrieval_not_saturating(tiny_cfg, tmp_path):
+    """Retrieval must have a real regression signal (VERDICT r2 weak #3):
+    with confusable track families (family_size=4) R@1 starts well below
+    saturation at init and visibly improves with training — unlike the
+    fully-separable generator where R@1 pins at 100 from epoch 1 and eval
+    could never detect a retrieval regression."""
+    import dataclasses as dc
+
+    from mgsv_tpu.train.loop import Trainer
+
+    root = str(tmp_path / "fam")
+    synthetic.generate(root, n_rows=48, n_unique_music=24,
+                       data_cfg=tiny_cfg.data, seed=0,
+                       family_size=4, family_delta=0.35)
+    data = synthetic.open_synthetic(root, tiny_cfg.data)
+
+    cfg = dc.replace(
+        tiny_cfg,
+        train=dc.replace(tiny_cfg.train, output_dir=str(tmp_path),
+                         save_checkpoints=False))
+    trainer = Trainer(cfg, train_data=data, val_data=data)
+    first = next(iter(data.epoch_batches(
+        cfg.train.batch_size_train, shuffle=False)))[0]
+    trainer.init_state(first)
+
+    r1_init = trainer.eval_epoch(0)["retrieval"]["R1"]
+    assert r1_init < 50.0, (
+        f"families are separable at init (R@1={r1_init}) — generator lost "
+        "its confusability")
+
+    out = trainer.fit()
+    r1_final = out["history"][-1]["eval"]["R1"]
+    assert r1_final > r1_init + 15.0, (
+        f"retrieval did not improve: {r1_init} -> {r1_final}")
+
+
 def test_resume_from_last(tiny_cfg, tiny_data, tmp_path):
     from mgsv_tpu.train.loop import Trainer
 
