@@ -59,6 +59,14 @@ class ModelConfig:
     temporal_heads: int = 8
     temporal_mlp_dim: int = 1024     # encoder_attention_hidden_dim (model_Base.py:294)
     temporal_dropout: float = 0.8    # r_enc (model_Base.py:296)
+    # Fused Pallas temporal-tower layers (ops/pallas/fused_temporal_layer):
+    # checkpoint-compatible twin with in-kernel PRNG dropout.  Default OFF
+    # by measurement: XLA with rbg mask bits runs the tower layer fwd+bwd
+    # 2x faster than the fused kernel at the paper shapes (6.0 vs 15.1 ms
+    # video, 10.2 vs 19.1 ms audio at bs=512 — ROADMAP.md null, BASELINE.md
+    # round-3 table).  The per-row [L<=96, 256] GEMMs are too small for the
+    # kernel to beat XLA's batched layout.
+    fused_temporal: bool = False
     video_pe_len: int = 250          # video_attention_seqlen buffer (train-MaDe.py:61)
     audio_pe_len: int = 300          # audio_attention_seqlen (model_Base.py:293)
     with_cls_token: bool = False

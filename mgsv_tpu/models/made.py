@@ -29,7 +29,8 @@ from mgsv_tpu.config import Config
 from mgsv_tpu.models import layers as L
 from mgsv_tpu.models.cross import CrossTransformer
 from mgsv_tpu.models.detr import DetrTransformer
-from mgsv_tpu.models.temporal import TemporalTransformer
+from mgsv_tpu.models.temporal import (FusedTemporalTransformer,
+                                      TemporalTransformer)
 from mgsv_tpu.models.xpool import XPoolTransformer
 
 
@@ -47,6 +48,7 @@ class Tower(nn.Module):
     act_after_proj: bool = False
     agg_module: str = "transf"
     dtype: Optional[jnp.dtype] = None   # compute dtype for the temporal TRM
+    fused: bool = False                 # FusedTemporalTransformer twin
     # Optional externally-shared temporal transformer (transformer_is_share,
     # model_Base.py:324-334 — only the transformer is shared, not the
     # projection or positional table).
@@ -75,7 +77,8 @@ class Tower(nn.Module):
             x = x + pe[None, : x.shape[1]]                # PE added :533
             trm = self.temporal_module
             if trm is None:
-                trm = TemporalTransformer(
+                cls = FusedTemporalTransformer if self.fused else TemporalTransformer
+                trm = cls(
                     self.dim, self.depth, self.heads, self.mlp_dim, self.dim,
                     dropout=self.dropout, dtype=self.dtype, name="temporal",
                 )
@@ -124,7 +127,9 @@ class MaDe(nn.Module):
         # ------------------------------------------------------------- towers
         shared_trm = None
         if m.transformer_is_share:
-            shared_trm = TemporalTransformer(
+            trm_cls = (FusedTemporalTransformer if m.fused_temporal
+                       else TemporalTransformer)
+            shared_trm = trm_cls(
                 d, m.temporal_depth, m.temporal_heads, m.temporal_mlp_dim, d,
                 dropout=m.temporal_dropout, dtype=cdtype, name="shared_temporal",
             )
@@ -132,7 +137,7 @@ class MaDe(nn.Module):
             d, m.video_pe_len, m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
-            agg_module=m.agg_module, dtype=cdtype,
+            agg_module=m.agg_module, dtype=cdtype, fused=m.fused_temporal,
             temporal_module=shared_trm, name="video_tower",
         )(frame_feats, frame_mask, deterministic=deterministic)
 
@@ -140,7 +145,7 @@ class MaDe(nn.Module):
             d, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
-            agg_module=m.agg_module, dtype=cdtype,
+            agg_module=m.agg_module, dtype=cdtype, fused=m.fused_temporal,
             temporal_module=shared_trm, name="audio_tower",
         )(segment_feats, segment_mask, deterministic=deterministic)
 
