@@ -25,6 +25,10 @@ def parse_overrides(argv):
                         help="path to a full config JSON to start from")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on a generated synthetic dataset of N rows")
+    parser.add_argument("--synthetic-family-size", type=int, default=1,
+                        help="confusable-track family size for --synthetic "
+                             "(>1 makes retrieval non-saturating: R@1 starts "
+                             "near 100/family_size and must be learned)")
     parser.add_argument("--platform", type=str, default=None,
                         choices=["cpu", "tpu", "axon"],
                         help="force the JAX platform in-process (reliable "
@@ -79,7 +83,8 @@ def main(argv=None):
     if known.synthetic:
         from mgsv_tpu.data import synthetic
         root = os.path.join(cfg.train.output_dir, "synthetic_data")
-        synthetic.generate(root, n_rows=known.synthetic, data_cfg=cfg.data)
+        synthetic.generate(root, n_rows=known.synthetic, data_cfg=cfg.data,
+                           family_size=known.synthetic_family_size)
         train_data = val_data = synthetic.open_synthetic(root, cfg.data)
     else:
         feature_root = cfg.data.feature_root

@@ -187,13 +187,16 @@ def corpus_similarity(
             block_size=min(block_size, len(seg_tokens)),
         )
 
+    # All branches return the DEVICE-resident similarity; ranking now also
+    # runs on device (eval/metrics.py dedup_rank_device), so the [N, N]
+    # matrix never crosses the host link.
     if "XA" not in m.vmr_fusion:
-        return np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+        return dual_similarity(video, jnp.asarray(music_embs))
     if lc.vmr_loss == "single":
-        return np.asarray(pooled_sim())
+        return pooled_sim()
     if lc.vmr_loss in ("dual_single_sim_fuse", "dual_single_loss_fuse"):
-        single = np.asarray(pooled_sim())
-        dual = np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+        single = pooled_sim()
+        dual = dual_similarity(video, jnp.asarray(music_embs))
         return single * 1.0 + dual * 1.0
     if lc.vmr_loss == "dual_single_feature_fuse":
         # Pooled features fused with the global music embedding before sim
@@ -208,7 +211,7 @@ def corpus_similarity(
             jnp.asarray(seg_masks) if m.fusion_mask else None,
             deterministic=True)
         fused = pooled + jnp.asarray(music_embs)[:, None, :]
-        return np.asarray(sim_matrix_music_pooling(video, fused))
+        return sim_matrix_music_pooling(video, fused)
     if lc.vmr_loss == "dual":
-        return np.asarray(dual_similarity(video, jnp.asarray(music_embs)))
+        return dual_similarity(video, jnp.asarray(music_embs))
     raise ValueError(f"unsupported vmr_loss for eval: {lc.vmr_loss}")

@@ -17,9 +17,13 @@ util_test.py:69-97) and is intentionally fixed here rather than replicated.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 
 def dedup_rank(sim_matrix: np.ndarray, music_ids: Sequence[str]) -> np.ndarray:
@@ -74,12 +78,73 @@ def rect_rank(sim_matrix: np.ndarray, col_music_ids: Sequence[str],
     return better + tie_before
 
 
-def recall_metrics_rect(
-    sim_matrix: np.ndarray, col_music_ids: Sequence[str],
-    gt_music_ids: Sequence[str],
-) -> Tuple[Dict[str, float], np.ndarray]:
-    """Recall metrics over a rectangular video x unique-track similarity."""
-    ranks = rect_rank(sim_matrix, col_music_ids, gt_music_ids)
+# ---------------------------------------------------------------------------
+# On-device ranking (exact twins of dedup_rank / rect_rank)
+#
+# At corpus scale the host path is dominated by pulling the full similarity
+# matrix over the device link (871 MB at 53k x 4k) and argsorting it; ranks
+# are an [N] int vector, so computing them on device and fetching only that
+# is exact and ~100x cheaper end-to-end (BASELINE.md 53k table).  Semantics
+# match the reference's stable-argsort + first-occurrence scan
+# (util_test.py:44-68): the first occurrence of id c in the sorted order is
+# its best-similarity column, earliest column index among equal sims; c
+# counts before the GT iff (best_c, -earliest_c) beats (best_gt,
+# -earliest_gt) lexicographically.  Equivalence vs the numpy paths is
+# pinned in tests/test_eval_metrics.py (including forced ties).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _dedup_rank_jax(sim, codes, n_ids):
+    m = sim.shape[1]
+    cols = jnp.arange(m)
+
+    def per_row(row):
+        best = jax.ops.segment_max(row, codes, num_segments=n_ids,
+                                   indices_are_sorted=False)
+        earliest = jax.ops.segment_min(
+            jnp.where(row == best[codes], cols, m), codes,
+            num_segments=n_ids, indices_are_sorted=False)
+        return best, earliest
+
+    best, earliest = jax.vmap(per_row)(sim)              # [N, n_ids] each
+    rows = jnp.arange(sim.shape[0])
+    gt_best = best[rows, codes[:sim.shape[0]]][:, None]
+    gt_earliest = earliest[rows, codes[:sim.shape[0]]][:, None]
+    before = (best > gt_best) | ((best == gt_best) & (earliest < gt_earliest))
+    return before.sum(axis=1)
+
+
+def dedup_rank_device(sim, music_ids: Sequence[str]):
+    """`dedup_rank` computed on device; returns ([N] ranks, [N] top-1 col)."""
+    codes_np = np.unique(np.asarray(music_ids), return_inverse=True)[1]
+    codes = jnp.asarray(codes_np)
+    ranks = _dedup_rank_jax(sim, codes, int(codes_np.max()) + 1)
+    top1 = jnp.argmax(sim, axis=1)       # first occurrence on ties — same
+    return np.asarray(ranks), np.asarray(top1)
+
+
+@jax.jit
+def _rect_rank_jax(sim, gt_col):
+    cols = jnp.arange(sim.shape[1])
+    gt_sim = jnp.take_along_axis(sim, gt_col[:, None], axis=1)
+    better = (sim > gt_sim).sum(axis=1)
+    tie_before = ((sim == gt_sim)
+                  & (cols[None, :] < gt_col[:, None])).sum(axis=1)
+    return better + tie_before
+
+
+def rect_rank_device(sim, col_music_ids: Sequence[str],
+                     gt_music_ids: Sequence[str]) -> np.ndarray:
+    """`rect_rank` computed on device from the device-resident sim matrix."""
+    cols = np.asarray(col_music_ids)
+    assert len(np.unique(cols)) == len(cols), "columns must be unique tracks"
+    col_of = {m: j for j, m in enumerate(cols)}
+    gt_col = jnp.asarray([col_of[m] for m in gt_music_ids])
+    return np.asarray(_rect_rank_jax(sim, gt_col))
+
+
+def _recall_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
     n = len(ranks)
     metrics: Dict[str, float] = {}
     for k in (1, 3, 5, 10, 20, 25, 50, 100):
@@ -87,37 +152,47 @@ def recall_metrics_rect(
     metrics["MedianR"] = float(np.median(ranks) + 1)
     metrics["MeanR"] = float(np.mean(ranks) + 1)
     metrics["MRR"] = float(np.mean(1.0 / (ranks + 1)))
-    return metrics, ranks
+    return metrics
+
+
+def recall_metrics_rect(
+    sim_matrix, col_music_ids: Sequence[str],
+    gt_music_ids: Sequence[str],
+) -> Tuple[Dict[str, float], np.ndarray]:
+    """Recall metrics over a rectangular video x unique-track similarity.
+
+    Device-resident `sim_matrix` ranks on device (rect_rank_device) —
+    only the [N] rank vector crosses the link."""
+    if isinstance(sim_matrix, jax.Array):
+        ranks = rect_rank_device(sim_matrix, col_music_ids, gt_music_ids)
+    else:
+        ranks = rect_rank(sim_matrix, col_music_ids, gt_music_ids)
+    return _recall_from_ranks(ranks), ranks
 
 
 def recall_metrics(
-    sim_matrix: np.ndarray, music_ids: Sequence[str]
+    sim_matrix, music_ids: Sequence[str]
 ) -> Tuple[Dict[str, float], np.ndarray, List[dict]]:
     """Dedup recall metrics — util_test.py:32-97.
 
-    Returns (metrics, ranks, per-sample results).
-    """
-    sim_matrix = np.asarray(sim_matrix, dtype=np.float64)
-    ranks = dedup_rank(sim_matrix, music_ids)
-    order = np.argsort(-sim_matrix, axis=1, kind="stable")
-
-    results = []
+    Returns (metrics, ranks, per-sample results).  A device-resident
+    `sim_matrix` ranks on device (dedup_rank_device) — only [N] ints
+    cross the link instead of the [N, N] float matrix."""
     ids = list(music_ids)
+    if isinstance(sim_matrix, jax.Array):
+        ranks, top1 = dedup_rank_device(sim_matrix, music_ids)
+    else:
+        sim_matrix = np.asarray(sim_matrix, dtype=np.float64)
+        ranks = dedup_rank(sim_matrix, music_ids)
+        top1 = np.argmax(sim_matrix, axis=1)     # first index on ties, same
+    results = []
     for i in range(len(ids)):
         results.append(dict(
             music_id=ids[i],
             rank=int(ranks[i]) + 1,
-            topk_music_ids=[ids[order[i, 0]]],
+            topk_music_ids=[ids[int(top1[i])]],
         ))
-
-    n = len(ranks)
-    metrics: Dict[str, float] = {}
-    for k in (1, 3, 5, 10, 20, 25, 50, 100):
-        metrics[f"R{k}"] = float(np.sum(ranks < k)) * 100.0 / n
-    metrics["MedianR"] = float(np.median(ranks) + 1)
-    metrics["MeanR"] = float(np.mean(ranks) + 1)
-    metrics["MRR"] = float(np.mean(1.0 / (ranks + 1)))
-    return metrics, ranks, results
+    return _recall_from_ranks(ranks), ranks, results
 
 
 def iou_metrics(iou_list: np.ndarray) -> Dict[str, float]:

@@ -6,17 +6,20 @@ back to CPU at 2000^2 (train-MaDe.py:588-591) and has never been run at
 dataset scale (53k videos, 4k unique tracks, README.md:39).  This script
 runs the COMPLETE eval flow at that scale on one chip:
 
-  1. catalog pass    4,096 tracks through the audio tower
-                     -> music embs + seg tokens [4k, 96, 256]
+  1. catalog pass    4,096 tracks through the audio tower in ONE jitted
+                     lax.scan dispatch -> music embs + seg tokens
+                     [4k, 96, 256]
   2. video pass      53,248 videos through the full model (video tower +
                      DETR localization against each row's GT track,
-                     gathered on device from the catalog) -> video embs +
-                     per-row IoU
+                     gathered on device from the f16 catalog; synthetic
+                     frame features generated on device inside the scan)
+                     -> video embs + per-row IoU, one dispatch
   3. rect similarity fused X-Pool pooled cosine [53k, 4k] + dual cosine
                      (dual_single fusion, train-MaDe.py:595-599)
-  4. metrics         rect-rank dedup recall (exact equivalence with the
-                     reference's ranking pinned in tests/test_eval_metrics
-                     .py::test_rect_rank_equals_dedup_rank), IoU, composite
+  4. metrics         rect-rank dedup recall computed ON DEVICE
+                     (eval/metrics.py::rect_rank_device; exact equivalence
+                     with the reference's ranking pinned in
+                     tests/test_eval_metrics.py), IoU, composite
 
 Features are synthetic (random) — quality numbers are meaningless by
 construction and recorded only to show the pipeline runs; the ARTIFACT is
@@ -99,50 +102,60 @@ def main():
         "v_duration": jnp.full((bs,), 30.0, jnp.float32),
     }
 
-    music_embs, seg_tok_chunks = [], []
+    # Single-dispatch device-resident pass: one jitted lax.scan over the
+    # catalog chunks.  The per-batch host loop this replaces measured
+    # 90-123 s wall for 8 batches whose device compute is 8 x 136 ms —
+    # pure remote-link dispatch overhead (BASELINE.md 53k table).
+    @jax.jit
+    def catalog_scan(params, sf_cat, sm_cat):
+        def body(_, chunk):
+            sf, sm = chunk
+            b = dict(dummy_video, segment_feats=sf.astype(jnp.float32),
+                     segment_mask=sm)
+            out = eval_step(params, b)
+            return None, (out["music_emb"], out["seg_tokens"])
+        _, (me, st) = jax.lax.scan(
+            body, None,
+            (sf_cat.reshape(n_tracks // bs, bs, S, -1),
+             sm_cat.reshape(n_tracks // bs, bs, S)))
+        return me.reshape(n_tracks, -1), st.reshape(n_tracks, S, -1)
+
+    music_embs, seg_tokens = catalog_scan(params, seg_feats_cat, seg_mask_cat)
+    fetch(music_embs)     # warm-up (compile excluded from the timed run)
     t0 = time.perf_counter()
-    for i in range(n_tracks // bs):
-        b = dict(dummy_video,
-                 segment_feats=seg_feats_cat[i * bs:(i + 1) * bs]
-                 .astype(jnp.float32),
-                 segment_mask=seg_mask_cat[i * bs:(i + 1) * bs])
-        out = eval_step(params, b)
-        music_embs.append(out["music_emb"])
-        seg_tok_chunks.append(out["seg_tokens"])
-    music_embs = jnp.concatenate(music_embs)          # [4k, D]
-    seg_tokens = jnp.concatenate(seg_tok_chunks)      # [4k, S, D]
+    music_embs, seg_tokens = catalog_scan(params, seg_feats_cat, seg_mask_cat)
     fetch(music_embs)
     results["catalog_pass_s"] = round(time.perf_counter() - t0, 3)
 
-    # ---------------- 2. video pass: full model per batch ------------------
+    # ---------------- 2. video pass: full model, one dispatch --------------
     gt_track = rng.randint(n_tracks, size=n_videos)   # each video's GT track
     gt_track_dev = jax.device_put(gt_track)
 
+    # Frame features are generated ON DEVICE inside the scan (synthetic by
+    # construction — no 53k x 50 x 512 buffer exists anywhere); the GT
+    # track's raw features are gathered on device from the f16 catalog.
     @jax.jit
-    def video_batch(params, frame_feats, frame_mask, seg_feats, seg_mask,
-                    batch_rest):
-        b = dict(batch_rest, frame_feats=frame_feats, frame_mask=frame_mask,
-                 segment_feats=seg_feats, segment_mask=seg_mask)
-        out = eval_step(params, b)
-        return out["video_emb"], out["iou"]
+    def video_scan(params, gt_idx_chunks, sf_cat, sm_cat):
+        def body(_, gt_idx):
+            key = jax.random.fold_in(jax.random.PRNGKey(42), gt_idx[0])
+            ff = jax.random.normal(key, (bs, F, 512), jnp.float32)
+            fm = (jax.random.uniform(jax.random.fold_in(key, 1), (bs, F))
+                  < 0.8).astype(jnp.float32).at[:, 0].set(1.0)
+            b = dict(dummy_video, frame_feats=ff, frame_mask=fm,
+                     segment_feats=sf_cat[gt_idx].astype(jnp.float32),
+                     segment_mask=sm_cat[gt_idx])
+            out = eval_step(params, b)
+            return None, (out["video_emb"], out["iou"])
+        _, (ve, io) = jax.lax.scan(body, None, gt_idx_chunks)
+        return ve.reshape(n_videos, -1), io.reshape(n_videos)
 
-    # the per-video frame features are generated host-side per batch (no
-    # 53k x 50 x 512 host buffer needed), the GT track's raw features are
-    # gathered ON DEVICE from the catalog
-    video_embs, ious = [], []
+    gt_chunks = gt_track_dev.reshape(n_videos // bs, bs)
+    video_embs, ious_dev = video_scan(params, gt_chunks, seg_feats_cat,
+                                      seg_mask_cat)
+    fetch(video_embs)     # warm-up
     t0 = time.perf_counter()
-    for i in range(n_videos // bs):
-        ff = jnp.asarray(rng.randn(bs, F, 512).astype(np.float32))
-        fm = jnp.asarray((rng.rand(bs, F) < 0.8).astype(np.float32))
-        fm = fm.at[:, 0].set(1.0)
-        idx = gt_track_dev[i * bs:(i + 1) * bs]
-        sf = seg_feats_cat[idx].astype(jnp.float32)
-        sm = seg_mask_cat[idx]
-        vemb, iou = video_batch(params, ff, fm, sf, sm, dummy_video)
-        video_embs.append(vemb)
-        ious.append(iou)
-    video_embs = jnp.concatenate(video_embs)          # [53k, D]
-    ious_dev = jnp.concatenate(ious)
+    video_embs, ious_dev = video_scan(params, gt_chunks, seg_feats_cat,
+                                      seg_mask_cat)
     fetch(video_embs)
     results["video_pass_s"] = round(time.perf_counter() - t0, 3)
 
@@ -177,12 +190,13 @@ def main():
     except Exception:
         pass
 
-    # ---------------- 4. metrics (host) ------------------------------------
+    # ---------------- 4. metrics (device ranks + host reductions) ----------
     t0 = time.perf_counter()
-    sim_h = np.asarray(sim)
     track_ids = [f"m{j:05d}" for j in range(n_tracks)]
     gt_ids = [track_ids[t] for t in gt_track]
-    ret, ranks = recall_metrics_rect(sim_h, track_ids, gt_ids)
+    # device-resident sim -> rect_rank_device: only [53k] ranks cross the
+    # link instead of the 871 MB matrix (eval/metrics.py)
+    ret, ranks = recall_metrics_rect(sim, track_ids, gt_ids)
     loc = iou_metrics(np.asarray(ious_dev))
     com = composite_metrics(ranks, np.asarray(ious_dev))
     results["metrics_s"] = round(time.perf_counter() - t0, 3)

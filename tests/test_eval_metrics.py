@@ -126,3 +126,47 @@ def test_rect_rank_equals_dedup_rank():
     m_square, _, _ = recall_metrics(square, gt)
     for k in ("R1", "R5", "R10", "MedianR", "MRR"):
         assert m_rect[k] == m_square[k], k
+
+
+def _tied_problem(n=48, n_unique=20, seed=3):
+    """Similarity with deliberate exact ties (quantized values) so the
+    stable-order tie-breaking of the device rankers is actually exercised."""
+    rng = np.random.RandomState(seed)
+    sim = np.round(rng.randn(n, n) * 2) / 2          # many exact ties
+    ids = [f"m{rng.randint(n_unique)}" for _ in range(n)]
+    return sim, ids
+
+
+def test_dedup_rank_device_matches_host():
+    for seed in range(4):
+        sim, ids = _tied_problem(seed=seed)
+        host = metrics.dedup_rank(sim.astype(np.float32), ids)
+        dev_ranks, dev_top1 = metrics.dedup_rank_device(
+            jnp.asarray(sim, jnp.float32), ids)
+        np.testing.assert_array_equal(dev_ranks, host)
+        order = np.argsort(-sim.astype(np.float32), axis=1, kind="stable")
+        np.testing.assert_array_equal(dev_top1, order[:, 0])
+
+
+def test_recall_metrics_device_path_identical():
+    sim, ids = _tied_problem(seed=9)
+    host_m, host_r, host_res = metrics.recall_metrics(sim.astype(np.float32), ids)
+    dev_m, dev_r, dev_res = metrics.recall_metrics(
+        jnp.asarray(sim, jnp.float32), ids)
+    np.testing.assert_array_equal(dev_r, host_r)
+    assert dev_m == host_m
+    assert dev_res == host_res
+
+
+def test_rect_rank_device_matches_host():
+    rng = np.random.RandomState(11)
+    n_v, n_m = 64, 24
+    sim = np.round(rng.randn(n_v, n_m) * 2) / 2
+    cols = [f"m{j}" for j in range(n_m)]
+    gts = [cols[rng.randint(n_m)] for _ in range(n_v)]
+    host = metrics.rect_rank(sim.astype(np.float32), cols, gts)
+    dev = metrics.rect_rank_device(jnp.asarray(sim, jnp.float32), cols, gts)
+    np.testing.assert_array_equal(dev, host)
+    host_m, _ = metrics.recall_metrics_rect(sim.astype(np.float32), cols, gts)
+    dev_m, _ = metrics.recall_metrics_rect(jnp.asarray(sim, jnp.float32), cols, gts)
+    assert dev_m == host_m
