@@ -76,6 +76,11 @@ def main(argv=None):
     parser.add_argument("--save-json", type=str, default=None)
     parser.add_argument("--fused-sim", action="store_true",
                         help="use the fused Pallas X-Pool similarity kernel")
+    parser.add_argument("--export-torch", type=str, default=None,
+                        help="convert the loaded checkpoint to a reference-"
+                             "format torch .bin at PATH and exit (interop."
+                             "torch_export; load it with the reference's own "
+                             "test-MaDe.py)")
     known, rest = parser.parse_known_args(argv)
     _, overrides = parse_overrides(rest)
     cfg = Config.from_overrides(overrides)
@@ -138,6 +143,12 @@ def main(argv=None):
             except FileNotFoundError:
                 logging.warning("checkpoint %s missing, skipped", tag)
                 continue
+        if known.export_torch:
+            from mgsv_tpu.interop.torch_export import save_reference_checkpoint
+            save_reference_checkpoint(params, cfg, known.export_torch)
+            logging.info("exported %s -> %s (reference torch format)",
+                         tag, known.export_torch)
+            return {tag: {"exported": known.export_torch}}
         res = evaluate(model, params, data, cfg, eval_step=shared_eval_step,
                        use_fused_sim=known.fused_sim)
         summary = {**res["retrieval"], **res["localization"], **res["composite"]}

@@ -71,6 +71,27 @@ def test_train_cli_then_epoch_sweep(tmp_path):
         for key in ("R1", "R10", "mIoU"):
             assert np.isfinite(summary[key]), key
 
+    # --export-torch: convert a trained checkpoint to the reference .bin
+    # format and reload it through the import path (full interop cycle)
+    export_path = os.path.join(out, "export.bin")
+    res = cli_eval.main([
+        "--ckpt", "last", "--run-dir", run_dir, "--split", "val",
+        "--export-torch", export_path,
+        "--data.val_csv", os.path.join(out, "synthetic_data", "data.csv"),
+        "--data.feature_root", os.path.join(out, "synthetic_data"),
+        *TINY, "--train.batch_size_val", "16",
+    ])
+    assert res == {"last": {"exported": export_path}}
+    import json
+
+    from mgsv_tpu.config import Config
+    from mgsv_tpu.interop.torch_import import load_reference_checkpoint
+    cfg = Config.from_overrides(
+        {TINY[i][2:]: json.loads(TINY[i + 1])
+         for i in range(0, len(TINY), 2)})
+    back = load_reference_checkpoint(export_path, cfg)
+    assert "params" in back
+
 
 def test_convert_reference_features_cli(tmp_path):
     """`extract_features --convert-from`: a reference-layout feature tree of
