@@ -43,6 +43,27 @@ def dataset_device_bytes(dataset: MgsvDataset) -> int:
     return total
 
 
+@jax.jit
+def gather_batch(data, idx):
+    """Pure on-device batch assembly from the resident store tree — also
+    callable under an outer jit/scan (eval/evaluator.py single-dispatch
+    path)."""
+    vr = data["video_rows"][idx]
+    mr = data["music_rows"][idx]
+    fm = data["vm"][vr].astype(jnp.float32)
+    sm = data["mm"][mr].astype(jnp.float32)
+    ff = data["vf"][vr].astype(jnp.float32) * fm[..., None]
+    sf = data["mf"][mr].astype(jnp.float32) * sm[..., None]
+    return {
+        "frame_feats": ff, "frame_mask": fm,
+        "segment_feats": sf, "segment_mask": sm,
+        "spans_target": data["spans"][idx],
+        "gt_moment": data["gt"][idx],
+        "m_duration": data["mdur"][idx],
+        "v_duration": data["vdur"][idx],
+    }
+
+
 class DeviceResidentData:
     def __init__(self, dataset: MgsvDataset):
         self.index = dataset.index
@@ -74,31 +95,13 @@ class DeviceResidentData:
         # captured device array is embedded into the lowered program as a
         # constant (double HBM + a compile payload carrying the whole
         # dataset, which overflows remote-compile transports).
-        self._tree = {
+        self.tree = {
             "vf": self._vf, "vm": self._vm, "mf": self._mf, "mm": self._mm,
             "video_rows": self._video_rows, "music_rows": self._music_rows,
             "spans": self._spans, "gt": self._gt,
             "mdur": self._mdur, "vdur": self._vdur,
         }
-
-        @jax.jit
-        def gather(data, idx):
-            vr = data["video_rows"][idx]
-            mr = data["music_rows"][idx]
-            fm = data["vm"][vr].astype(jnp.float32)
-            sm = data["mm"][mr].astype(jnp.float32)
-            ff = data["vf"][vr].astype(jnp.float32) * fm[..., None]
-            sf = data["mf"][mr].astype(jnp.float32) * sm[..., None]
-            return {
-                "frame_feats": ff, "frame_mask": fm,
-                "segment_feats": sf, "segment_mask": sm,
-                "spans_target": data["spans"][idx],
-                "gt_moment": data["gt"][idx],
-                "m_duration": data["mdur"][idx],
-                "v_duration": data["vdur"][idx],
-            }
-
-        self._gather = lambda idx: gather(self._tree, idx)
+        self._gather = lambda idx: gather_batch(self.tree, idx)
 
     def __len__(self) -> int:
         return len(self.index)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from mgsv_tpu.config import Config
 from mgsv_tpu.data.dataset import MgsvDataset
 from mgsv_tpu.eval import metrics as M
@@ -28,6 +30,26 @@ from mgsv_tpu.eval.similarity import dual_similarity, xpool_similarity_blocked
 from mgsv_tpu.models.made import MaDe
 from mgsv_tpu.models.xpool import XPoolTransformer
 from mgsv_tpu.train.step import make_eval_step
+
+
+@functools.lru_cache(maxsize=8)
+def _scan_program(eval_step):
+    """One jitted lax.scan over all eval batches of a device-resident
+    dataset: a full epoch forward becomes a SINGLE dispatch (the per-batch
+    host loop costs one link round-trip per batch — ~2 s each over the
+    remote tunnel vs 136 ms of device compute at the paper shape)."""
+    from mgsv_tpu.data.device_data import gather_batch
+
+    @jax.jit
+    def run(params, tree, idx_chunks):
+        def body(_, idx):
+            out = eval_step(params, gather_batch(tree, idx))
+            return None, (out["video_emb"], out["music_emb"],
+                          out["seg_tokens"], out["segment_mask"],
+                          out["iou"], out["pred_spans_sec"], out["loss"])
+        return jax.lax.scan(body, None, idx_chunks)[1]
+
+    return run
 
 
 def evaluate(
@@ -77,39 +99,67 @@ def evaluate(
     # rows exist only at the tail of the final batch, so device-side
     # concatenation + one prefix slice recovers exactly the valid rows.
     on_device = shard is None
-    for batch, meta in dataset.epoch_batches(
-            batch_size, shuffle=False, drop_last=False):
-        if shard is not None:
-            batch = shard(batch)
-        out = eval_step(params, batch)
-        valid = meta.valid
-        k = int(valid.sum())
-        n_valid += k
-        if on_device:
-            video_embs.append(out["video_emb"])
-            music_embs.append(out["music_emb"])
-            seg_tokens.append(out["seg_tokens"])
-            seg_masks.append(out["segment_mask"])
-        else:
-            video_embs.append(np.asarray(out["video_emb"])[valid])
-            music_embs.append(np.asarray(out["music_emb"])[valid])
-            seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
-            seg_masks.append(np.asarray(out["segment_mask"])[valid])
-        ious.append(np.asarray(out["iou"])[valid])
-        pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
-        # Weight each batch's loss by its valid-row count so the padded
-        # final batch doesn't skew the epoch average (its in-batch loss
-        # still sees padded rows as extra negatives; full batches dominate).
-        losses.append((float(out["loss"]), k))
-        video_ids.extend([v for v, ok in zip(meta.video_ids, valid) if ok])
-        music_ids.extend([m for m, ok in zip(meta.music_ids, valid) if ok])
+    if on_device and hasattr(dataset, "tree"):
+        # Device-resident dataset: the whole epoch forward is ONE lax.scan
+        # dispatch (same per-batch programs, same tail padding — repeat the
+        # last row — so outputs are bit-identical to the loop below; pinned
+        # in tests/test_device_data.py).
+        n = n_valid = len(dataset)
+        ix = dataset.index
+        pad = (-n) % batch_size
+        order = np.arange(n)
+        idx_all = (np.concatenate([order, np.repeat(order[-1:], pad)])
+                   if pad else order)
+        chunks = jnp.asarray(idx_all.reshape(-1, batch_size), jnp.int32)
+        ve, me, st, smk, io, ps, ls = _scan_program(eval_step)(
+            params, dataset.tree, chunks)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        video_embs = flat(ve)[:n]                 # [N, D]
+        music_embs = flat(me)[:n]
+        seg_tokens = flat(st)[:n]                 # [N, S, D]
+        seg_masks = flat(smk)[:n]
+        ious = np.asarray(flat(io)[:n])
+        pred_spans = [np.asarray(flat(ps)[:n])]
+        weights = np.full(chunks.shape[0], batch_size, np.int64)
+        weights[-1] = batch_size - pad
+        losses = list(zip(np.asarray(ls).tolist(), weights.tolist()))
+        video_ids = list(ix.video_ids)
+        music_ids = list(ix.music_ids)
+    else:
+        for batch, meta in dataset.epoch_batches(
+                batch_size, shuffle=False, drop_last=False):
+            if shard is not None:
+                batch = shard(batch)
+            out = eval_step(params, batch)
+            valid = meta.valid
+            k = int(valid.sum())
+            n_valid += k
+            if on_device:
+                video_embs.append(out["video_emb"])
+                music_embs.append(out["music_emb"])
+                seg_tokens.append(out["seg_tokens"])
+                seg_masks.append(out["segment_mask"])
+            else:
+                video_embs.append(np.asarray(out["video_emb"])[valid])
+                music_embs.append(np.asarray(out["music_emb"])[valid])
+                seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
+                seg_masks.append(np.asarray(out["segment_mask"])[valid])
+            ious.append(np.asarray(out["iou"])[valid])
+            pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
+            # Weight each batch's loss by its valid-row count so the padded
+            # final batch doesn't skew the epoch average (its in-batch loss
+            # still sees padded rows as extra negatives; full batches
+            # dominate).
+            losses.append((float(out["loss"]), k))
+            video_ids.extend([v for v, ok in zip(meta.video_ids, valid) if ok])
+            music_ids.extend([m for m, ok in zip(meta.music_ids, valid) if ok])
 
-    cat = jnp.concatenate if on_device else np.concatenate
-    video_embs = cat(video_embs)[:n_valid]        # [N, D]
-    music_embs = cat(music_embs)[:n_valid]
-    seg_tokens = cat(seg_tokens)[:n_valid]        # [N, S, D]
-    seg_masks = cat(seg_masks)[:n_valid]
-    ious = np.concatenate(ious)
+        cat = jnp.concatenate if on_device else np.concatenate
+        video_embs = cat(video_embs)[:n_valid]    # [N, D]
+        music_embs = cat(music_embs)[:n_valid]
+        seg_tokens = cat(seg_tokens)[:n_valid]    # [N, S, D]
+        seg_masks = cat(seg_masks)[:n_valid]
+        ious = np.concatenate(ious)
 
     sim = corpus_similarity(
         params, video_embs, music_embs, seg_tokens, seg_masks, cfg,

@@ -69,3 +69,44 @@ def test_trainer_with_forced_device_data(tmp_path):
     out = trainer.fit()
     assert np.isfinite(out["history"][0]["train"]["loss"])
     assert "eval" in out["history"][0]
+
+
+def test_evaluator_scan_path_matches_loop(tmp_path):
+    """evaluate() over DeviceResidentData takes the single-dispatch lax.scan
+    path; results must be identical to the per-batch loop over the host
+    dataset (incl. the padded tail batch: n=20, bs=8 -> pad 4)."""
+    import jax
+
+    from mgsv_tpu.config import Config, ModelConfig, TrainConfig
+    from mgsv_tpu.eval.evaluator import evaluate
+    from mgsv_tpu.models.made import MaDe
+
+    ds = _ds(tmp_path)
+    cfg = Config(
+        data=DataConfig(max_v_frames=8, stride=30.0, filter_sec=30.0,
+                        vit_dim=32, ast_dim=48),
+        model=ModelConfig(dim_input=16, temporal_mlp_dim=32, detr_ffn_dim=32,
+                          detr_enc_layers=1, detr_dec_layers=2,
+                          temporal_heads=4, detr_heads=4, contrastive_dim=16,
+                          video_pe_len=16, audio_pe_len=16,
+                          compute_dtype="float32"),
+        train=TrainConfig(batch_size_val=8))
+    model = MaDe(cfg)
+    b, _ = next(iter(ds.epoch_batches(8, shuffle=False, drop_last=False)))
+    params = model.init(jax.random.PRNGKey(0), b["frame_feats"],
+                        b["frame_mask"], b["segment_feats"],
+                        b["segment_mask"], deterministic=True)
+
+    res_loop = evaluate(model, params, ds, cfg)
+    res_scan = evaluate(model, params, DeviceResidentData(ds), cfg)
+    np.testing.assert_array_equal(res_scan["ranks"], res_loop["ranks"])
+    np.testing.assert_allclose(res_scan["ious"], res_loop["ious"], atol=1e-6)
+    np.testing.assert_allclose(res_scan["pred_spans"], res_loop["pred_spans"],
+                               atol=1e-5)
+    assert res_scan["video_ids"] == res_loop["video_ids"]
+    assert res_scan["music_ids"] == res_loop["music_ids"]
+    np.testing.assert_allclose(res_scan["loss"], res_loop["loss"], rtol=1e-6)
+    for sec in ("retrieval", "localization", "composite"):
+        for k, v in res_loop[sec].items():
+            np.testing.assert_allclose(res_scan[sec][k], v, atol=1e-9,
+                                       err_msg=f"{sec}.{k}")
