@@ -15,6 +15,7 @@ sharded over a mesh via eval/similarity.xpool_similarity_sharded).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -138,76 +139,115 @@ class RetrievalEngine:
                 self._video_sub, frame_feats, frame_mask, deterministic=True)
 
         self._encode_video = encode_video
-        self._localize = self._make_localize()
+        self._query_jit = self._make_query()
 
-    def _make_localize(self):
-        model, cfg = self.model, self.cfg
+    def _localize_core(self, params, tokens, video_emb, fmask,
+                       seg_tokens, seg_masks, v_dur):
+        """Localization head over (video, candidate-track) pair rows.
 
-        @jax.jit
-        def localize(params, frame_feats, frame_mask, seg_tokens, seg_masks):
-            """One (video, track) pair per row: full MaDe forward on raw
-            frame features + *index* snippet tokens is wasteful; instead we
-            re-run the trunk with the video repeated against each candidate
-            track's original AST features is not available here — so the
-            DETR fusion consumes the index's tower tokens directly."""
-            from mgsv_tpu.models import layers as L
-            from mgsv_tpu.models.detr import DetrTransformer
+        The DETR fusion consumes the video tower's tokens plus the INDEX's
+        music tower tokens directly (the candidates' raw AST features are
+        not kept at serving time), so this is the training-time concat
+        fusion with the music half read from the index."""
+        from mgsv_tpu.models import layers as L
+        from mgsv_tpu.models.detr import DetrTransformer
 
-            m = cfg.model
-            p = params["params"]
+        cfg = self.cfg
+        m = cfg.model
+        p = params["params"]
+        fused = jnp.concatenate([tokens, seg_tokens], axis=1)
+        fused_mask = jnp.concatenate([fmask, seg_masks], axis=1)
+        pos = L.position_embedding_sine(fused_mask, m.dim_input)
+        nq = m.num_moment_queries
+        target = jnp.broadcast_to(
+            video_emb[:, None, :], (video_emb.shape[0], nq, m.dim_input))
+        if self.use_fused_kernels:
+            from mgsv_tpu.ops.pallas.detr_fused import detr_forward_fused
+            hidden, _ = detr_forward_fused(
+                {"params": p["detr"]}, fused.astype(jnp.float32),
+                fused_mask, pos, p["query_embed"], target,
+                heads=m.detr_heads, ffn_dim=m.detr_ffn_dim,
+                enc_layers=m.detr_enc_layers, dec_layers=m.detr_dec_layers,
+                decoder_self_attn=m.decoder_self_attn)
+        else:
+            detr = DetrTransformer(
+                m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
+                m.detr_dec_layers, dropout=m.detr_dropout,
+                pre_norm=m.detr_pre_norm,
+                decoder_self_attn=m.decoder_self_attn,
+                dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else None)
+            hidden, _ = detr.apply(
+                {"params": p["detr"]}, fused, fused_mask, pos,
+                p["query_embed"], target, deterministic=True)
+        hidden = hidden.astype(jnp.float32)
+        # Apply the SAME head modules as MaDe._detr_heads so serving
+        # cannot drift from training/eval.
+        from mgsv_tpu.models.layers import DetrMLP
+        import flax.linen as fnn
+
+        logits = fnn.Dense(2).apply(
+            {"params": p["class_embed"]}, hidden[-1])
+        span_pred_dim = 1 if m.predict_center else 2
+        spans_cw = jax.nn.sigmoid(DetrMLP(m.dim_input, span_pred_dim, 3).apply(
+            {"params": p["span_embed"]}, hidden[-1]))
+        if m.predict_center:
+            width = (v_dur / cfg.data.max_m_duration)[:, None, None]
+            width = jnp.broadcast_to(width, spans_cw.shape[:-1] + (1,))
+            spans_cw = jnp.concatenate([spans_cw, width], axis=-1)
+        score = jax.nn.softmax(logits, axis=-1)[..., cfg.loss.foreground_label]
+        best = jnp.argmax(score, axis=-1)
+        spans_se = span_cw_to_se(spans_cw) * cfg.data.max_m_duration
+        take = lambda x: jnp.take_along_axis(
+            x, best[:, None, None], axis=1)[:, 0]
+        return take(spans_se), jnp.take_along_axis(
+            score, best[:, None], axis=1)[:, 0]
+
+    def _make_query(self):
+        """The WHOLE query — video tower, dual+pooled similarity against
+        the full index, top-k selection, candidate gather, localization —
+        as ONE jitted program per (batch, top_k) shape.
+
+        Motivation (measured, scripts/bench_serving_tpu.py): the previous
+        host-side flow (encode dispatch -> fetch [B, M] sims -> numpy
+        argsort -> localize dispatch) cost ~352 ms p50 at B=1 on the
+        remote chip, nearly flat in B — fixed round-trip overhead, not
+        compute.  One dispatch also localizes against the tower tokens
+        already computed for similarity instead of re-running the video
+        tower per (query, candidate) pair."""
+        fusion_mask = self.cfg.model.fusion_mask
+        block = min(self.sim_block_size, len(self.index.music_ids))
+
+        # The index arrays are EXPLICIT jit arguments, not closures: a
+        # closed-over [M, S, D] token store (hundreds of MB at catalog
+        # scale) would be serialized into the compile payload, which the
+        # remote-compile tunnel rejects (HTTP 413) and which bloats the
+        # executable even on a local chip.
+        @functools.partial(jax.jit, static_argnums=(6,))
+        def run(params, music_embs, seg_tokens, seg_masks,
+                frame_feats, frame_mask, top_k):
             tokens, video_emb, fmask = self._video_tower.apply(
-                {"params": p["video_tower"]}, frame_feats, frame_mask,
-                deterministic=True)
-            fused = jnp.concatenate([tokens, seg_tokens], axis=1)
-            fused_mask = jnp.concatenate([fmask, seg_masks], axis=1)
-            pos = L.position_embedding_sine(fused_mask, m.dim_input)
-            nq = m.num_moment_queries
-            target = jnp.broadcast_to(
-                video_emb[:, None, :], (video_emb.shape[0], nq, m.dim_input))
-            if self.use_fused_kernels:
-                from mgsv_tpu.ops.pallas.detr_fused import detr_forward_fused
-                hidden, _ = detr_forward_fused(
-                    {"params": p["detr"]}, fused.astype(jnp.float32),
-                    fused_mask, pos, p["query_embed"], target,
-                    heads=m.detr_heads, ffn_dim=m.detr_ffn_dim,
-                    enc_layers=m.detr_enc_layers, dec_layers=m.detr_dec_layers,
-                    decoder_self_attn=m.decoder_self_attn)
-            else:
-                detr = DetrTransformer(
-                    m.dim_input, m.detr_heads, m.detr_ffn_dim, m.detr_enc_layers,
-                    m.detr_dec_layers, dropout=m.detr_dropout,
-                    pre_norm=m.detr_pre_norm,
-                    decoder_self_attn=m.decoder_self_attn,
-                    dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else None)
-                hidden, _ = detr.apply(
-                    {"params": p["detr"]}, fused, fused_mask, pos,
-                    p["query_embed"], target, deterministic=True)
-            hidden = hidden.astype(jnp.float32)
-            # Apply the SAME head modules as MaDe._detr_heads so serving
-            # cannot drift from training/eval.
-            from mgsv_tpu.models.layers import DetrMLP
-            import flax.linen as fnn
+                {"params": params["params"]["video_tower"]},
+                frame_feats, frame_mask, deterministic=True)
+            sims = dual_similarity(video_emb, music_embs)
+            sims = sims + xpool_similarity_blocked(
+                self._xpool.apply, self._xpool_sub, video_emb,
+                seg_tokens,
+                seg_masks if fusion_mask else None,
+                block_size=block)                               # [B, M]
+            top_sims, order = jax.lax.top_k(sims, top_k)        # [B, k]
+            cand = order.reshape(-1)
+            rep = lambda t: jnp.repeat(t, top_k, axis=0)
+            # video duration approximated from the 1 fps frame mask (the
+            # RAW mask — the tower's may carry an extra cls-token column)
+            v_dur = frame_mask.sum(axis=-1)
+            spans, scores = self._localize_core(
+                params, rep(tokens), rep(video_emb), rep(fmask),
+                seg_tokens[cand], seg_masks[cand], rep(v_dur))
+            b = frame_feats.shape[0]
+            return (order, top_sims,
+                    spans.reshape(b, top_k, 2), scores.reshape(b, top_k))
 
-            logits = fnn.Dense(2).apply(
-                {"params": p["class_embed"]}, hidden[-1])
-            span_pred_dim = 1 if m.predict_center else 2
-            spans_cw = jax.nn.sigmoid(DetrMLP(m.dim_input, span_pred_dim, 3).apply(
-                {"params": p["span_embed"]}, hidden[-1]))
-            if m.predict_center:
-                # video duration approximated from the 1 fps frame mask
-                v_dur = frame_mask.sum(axis=-1)
-                width = (v_dur / cfg.data.max_m_duration)[:, None, None]
-                width = jnp.broadcast_to(width, spans_cw.shape[:-1] + (1,))
-                spans_cw = jnp.concatenate([spans_cw, width], axis=-1)
-            score = jax.nn.softmax(logits, axis=-1)[..., cfg.loss.foreground_label]
-            best = jnp.argmax(score, axis=-1)
-            spans_se = span_cw_to_se(spans_cw) * cfg.data.max_m_duration
-            take = lambda x: jnp.take_along_axis(
-                x, best[:, None, None], axis=1)[:, 0]
-            return take(spans_se), jnp.take_along_axis(
-                score, best[:, None], axis=1)[:, 0]
-
-        return localize
+        return run
 
     def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
               top_k: int = 5) -> List[Dict]:
@@ -215,34 +255,20 @@ class RetrievalEngine:
         ranked music ids/scores and a localized moment per candidate."""
         frame_feats = jnp.asarray(frame_feats, jnp.float32)
         frame_mask = jnp.asarray(frame_mask, jnp.float32)
-        _, video_emb, _ = self._encode_video(frame_feats, frame_mask)
-
-        sims = dual_similarity(video_emb, self._music_embs)
-        sims = sims + xpool_similarity_blocked(
-            self._xpool.apply, self._xpool_sub, video_emb,
-            self._seg_tokens,
-            self._seg_masks if self.cfg.model.fusion_mask else None,
-            block_size=min(self.sim_block_size, len(self.index.music_ids)))
-        sims = np.asarray(sims)                                 # [B, M]
-
-        b = sims.shape[0]
-        order = np.argsort(-sims, axis=1)[:, :top_k]            # [B, k]
-
-        # Localize each (query, candidate) pair as one flat batch.
-        rep_feats = jnp.repeat(frame_feats, top_k, axis=0)
-        rep_mask = jnp.repeat(frame_mask, top_k, axis=0)
-        cand = order.reshape(-1)
-        spans, scores = self._localize(
-            self.params, rep_feats, rep_mask,
-            self._seg_tokens[cand], self._seg_masks[cand])
-        spans = np.asarray(spans).reshape(b, top_k, 2)
-        loc_scores = np.asarray(scores).reshape(b, top_k)
+        order_d, top_sims, spans_d, scores_d = self._query_jit(
+            self.params, self._music_embs, self._seg_tokens, self._seg_masks,
+            frame_feats, frame_mask, int(top_k))
+        order = np.asarray(order_d)                             # [B, k]
+        top_scores = np.asarray(top_sims)
+        spans = np.asarray(spans_d)
+        loc_scores = np.asarray(scores_d)
+        b = order.shape[0]
 
         results = []
         for i in range(b):
             results.append({
                 "music_ids": [self.index.music_ids[j] for j in order[i]],
-                "retrieval_scores": sims[i, order[i]].tolist(),
+                "retrieval_scores": top_scores[i].tolist(),
                 "moments": spans[i].tolist(),
                 "moment_scores": loc_scores[i].tolist(),
             })
