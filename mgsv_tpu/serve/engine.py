@@ -106,16 +106,24 @@ class RetrievalEngine:
     """Query-time engine: video features -> top-k tracks + moments."""
 
     def __init__(self, model: MaDe, params, cfg: Config, index: MusicIndex,
-                 sim_block_size: int = 256, use_fused_kernels: bool = False):
+                 sim_block_size: int = 256, use_fused_kernels: bool = False,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 mesh_axis: str = "dp"):
         # use_fused_kernels: route the localization DETR through the fused
         # Pallas encoder layers (7.9x over the XLA layer on v5e; post-norm
         # configs only) — opt-in because of kernel compile latency.
+        # mesh: shard the index over `mesh_axis` (music dimension) and run
+        # the query SPMD — the serving analogue of the sharded corpus eval
+        # (eval/similarity.py); one engine then serves a catalog larger
+        # than a single chip's HBM.
         self.use_fused_kernels = use_fused_kernels and not cfg.model.detr_pre_norm
         self.model = model
         self.params = params
         self.cfg = cfg
         self.index = index
         self.sim_block_size = sim_block_size
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
         m = cfg.model
 
         cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
@@ -129,9 +137,36 @@ class RetrievalEngine:
         self._xpool_sub = {"params": params["params"]["xpool_v2m"]}
         self._xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
 
-        self._seg_tokens = jnp.asarray(index.seg_tokens)
-        self._seg_masks = jnp.asarray(index.seg_masks)
-        self._music_embs = jnp.asarray(index.music_embs)
+        self._n_valid = len(index.music_ids)
+        if mesh is None:
+            self._seg_tokens = jnp.asarray(index.seg_tokens)
+            self._seg_masks = jnp.asarray(index.seg_masks)
+            self._music_embs = jnp.asarray(index.music_embs)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape[mesh_axis]
+            pad = (-self._n_valid) % n_dev
+            seg_tokens, seg_masks = index.seg_tokens, index.seg_masks
+            music_embs = index.music_embs
+            if pad:
+                # mask-safe pad tracks (one valid snippet); their sims are
+                # forced to -inf before top_k inside the query
+                seg_tokens = np.concatenate(
+                    [seg_tokens,
+                     np.zeros((pad,) + seg_tokens.shape[1:],
+                              seg_tokens.dtype)])
+                pm = np.zeros((pad, seg_masks.shape[1]), seg_masks.dtype)
+                pm[:, 0] = 1
+                seg_masks = np.concatenate([seg_masks, pm])
+                music_embs = np.concatenate(
+                    [music_embs,
+                     np.zeros((pad, music_embs.shape[1]), music_embs.dtype)])
+            shard = lambda x, spec: jax.device_put(
+                jnp.asarray(x), NamedSharding(mesh, spec))
+            self._seg_tokens = shard(seg_tokens, P(mesh_axis))
+            self._seg_masks = shard(seg_masks, P(mesh_axis))
+            self._music_embs = shard(music_embs, P(mesh_axis))
 
         @jax.jit
         def encode_video(frame_feats, frame_mask):
@@ -216,6 +251,26 @@ class RetrievalEngine:
         tower per (query, candidate) pair."""
         fusion_mask = self.cfg.model.fusion_mask
         block = min(self.sim_block_size, len(self.index.music_ids))
+        mesh, ax, n_valid = self._mesh, self._mesh_axis, self._n_valid
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # Each device scans its music shard against the replicated
+            # query embeddings (same shard_map shape as the corpus eval,
+            # eval/similarity.py::xpool_similarity_sharded); everything
+            # downstream (top_k over the gathered [B, M] row, candidate
+            # gather from the sharded token store, localization) is left
+            # to GSPMD inside the same jitted program.
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(), P(), P(ax), P(ax)), out_specs=P(None, ax),
+                check_vma=False)
+            def _xpool_sims_sharded(xp, v_emb, seg_shard, mask_shard):
+                return xpool_similarity_blocked(
+                    self._xpool.apply, xp, v_emb, seg_shard,
+                    mask_shard if fusion_mask else None,
+                    block_size=min(block, seg_shard.shape[0]))
 
         # The index arrays are EXPLICIT jit arguments, not closures: a
         # closed-over [M, S, D] token store (hundreds of MB at catalog
@@ -229,11 +284,19 @@ class RetrievalEngine:
                 {"params": params["params"]["video_tower"]},
                 frame_feats, frame_mask, deterministic=True)
             sims = dual_similarity(video_emb, music_embs)
-            sims = sims + xpool_similarity_blocked(
-                self._xpool.apply, self._xpool_sub, video_emb,
-                seg_tokens,
-                seg_masks if fusion_mask else None,
-                block_size=block)                               # [B, M]
+            if mesh is None:
+                sims = sims + xpool_similarity_blocked(
+                    self._xpool.apply, self._xpool_sub, video_emb,
+                    seg_tokens,
+                    seg_masks if fusion_mask else None,
+                    block_size=block)                           # [B, M]
+            else:
+                sims = sims + _xpool_sims_sharded(
+                    self._xpool_sub, video_emb, seg_tokens, seg_masks)
+                # pad tracks (index padded to the mesh axis size) never rank
+                sims = jnp.where(
+                    jnp.arange(sims.shape[1])[None, :] < n_valid,
+                    sims, -jnp.inf)
             top_sims, order = jax.lax.top_k(sims, top_k)        # [B, k]
             cand = order.reshape(-1)
             rep = lambda t: jnp.repeat(t, top_k, axis=0)
@@ -249,16 +312,49 @@ class RetrievalEngine:
 
         return run
 
+    @staticmethod
+    def _bucket(b: int) -> int:
+        """Next power-of-two batch bucket — every client batch size maps to
+        one of log2(max_b) compiled programs instead of compiling per exact
+        B (each compile is minutes over the remote tunnel)."""
+        n = 1
+        while n < b:
+            n *= 2
+        return n
+
+    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32),
+               top_k: int = 5) -> None:
+        """Pre-compile the query program at the given batch buckets so the
+        first real client request doesn't pay compile latency."""
+        F = self.cfg.data.max_v_frames
+        vit = self.cfg.data.vit_dim
+        for b in sorted({self._bucket(int(x)) for x in batch_sizes}):
+            feats = np.zeros((b, F, vit), np.float32)
+            mask = np.zeros((b, F), np.float32)
+            mask[:, 0] = 1.0
+            self.query(feats, mask, top_k=top_k)
+
     def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
               top_k: int = 5) -> List[Dict]:
         """frame_feats: [B, F, vit_dim]; returns per query a dict with
         ranked music ids/scores and a localized moment per candidate."""
+        b_real = frame_feats.shape[0]
+        b_pad = self._bucket(b_real)
+        if b_pad != b_real:
+            # mask-safe padding: pad rows keep one valid frame so the
+            # attention softmax never sees an all-masked row
+            pf = np.zeros((b_pad - b_real,) + tuple(frame_feats.shape[1:]),
+                          np.float32)
+            pm = np.zeros((b_pad - b_real, frame_feats.shape[1]), np.float32)
+            pm[:, 0] = 1.0
+            frame_feats = np.concatenate([np.asarray(frame_feats), pf])
+            frame_mask = np.concatenate([np.asarray(frame_mask), pm])
         frame_feats = jnp.asarray(frame_feats, jnp.float32)
         frame_mask = jnp.asarray(frame_mask, jnp.float32)
         order_d, top_sims, spans_d, scores_d = self._query_jit(
             self.params, self._music_embs, self._seg_tokens, self._seg_masks,
             frame_feats, frame_mask, int(top_k))
-        order = np.asarray(order_d)                             # [B, k]
+        order = np.asarray(order_d)[:b_real]                    # [B, k]
         top_scores = np.asarray(top_sims)
         spans = np.asarray(spans_d)
         loc_scores = np.asarray(scores_d)

@@ -134,3 +134,91 @@ def test_http_server_round_trip(tmp_path):
         assert conn.getresponse().status == 404
     finally:
         server.stop()
+
+
+def test_query_batch_bucketing_matches_per_row():
+    """An odd batch is padded to the next power-of-two bucket with
+    mask-safe rows; results must equal querying each row alone, and the
+    number of compiled query programs must equal the number of distinct
+    buckets, not distinct batch sizes."""
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(2)
+    n_music, s, f = 8, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(3, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((3, f), np.float32)
+    frame_mask[1, 5:] = 0
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats[:1]),
+        jnp.asarray(frame_mask[:1]), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+    engine = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+
+    assert [RetrievalEngine._bucket(b) for b in (1, 2, 3, 5, 8, 9)] == \
+        [1, 2, 4, 8, 8, 16]
+
+    batched = engine.query(frame_feats, frame_mask, top_k=3)   # pads 3 -> 4
+    assert len(batched) == 3
+    for i in range(3):
+        single = engine.query(frame_feats[i:i + 1], frame_mask[i:i + 1],
+                              top_k=3)[0]
+        assert single["music_ids"] == batched[i]["music_ids"]
+        np.testing.assert_allclose(single["retrieval_scores"],
+                                   batched[i]["retrieval_scores"], atol=1e-5)
+        np.testing.assert_allclose(single["moments"], batched[i]["moments"],
+                                   atol=1e-3)
+
+    # warmup compiles the buckets; a following query at any size <= 4 is a
+    # cache hit (no new trace) — asserted via the jit cache size.
+    engine.warmup(batch_sizes=(1, 3), top_k=3)
+    sizes = engine._query_jit._cache_size()
+    engine.query(frame_feats[:2], frame_mask[:2], top_k=3)
+    assert engine._query_jit._cache_size() == sizes + 1  # b=2 is a new bucket
+    engine.query(frame_feats, frame_mask, top_k=3)       # b=3 -> bucket 4, hit
+    assert engine._query_jit._cache_size() == sizes + 1
+
+
+def test_mesh_sharded_engine_matches_single_device():
+    """Index sharded over the 8-device mesh (music axis, 12 tracks -> pad
+    to 16): query results must equal the single-device engine's exactly —
+    same ranking, scores, and moments; pad tracks must never rank."""
+    from jax.sharding import Mesh
+
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(3)
+    n_music, s, f = 12, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    seg_masks[5, 3:] = 0
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(2, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((2, f), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats[:1]),
+        jnp.asarray(frame_mask[:1]), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+
+    single = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    sharded = RetrievalEngine(model, params, cfg, index, sim_block_size=4,
+                              mesh=mesh)
+
+    r_single = single.query(frame_feats, frame_mask, top_k=5)
+    r_sharded = sharded.query(frame_feats, frame_mask, top_k=5)
+    for a, b in zip(r_single, r_sharded):
+        assert a["music_ids"] == b["music_ids"]
+        np.testing.assert_allclose(a["retrieval_scores"],
+                                   b["retrieval_scores"], atol=1e-5)
+        np.testing.assert_allclose(a["moments"], b["moments"], atol=1e-3)
+        np.testing.assert_allclose(a["moment_scores"], b["moment_scores"],
+                                   atol=1e-5)
