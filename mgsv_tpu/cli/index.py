@@ -52,6 +52,10 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8008)
+    parser.add_argument(
+        "--warmup", default="1,8,32",
+        help="serve: comma-separated batch buckets to pre-compile before "
+             "accepting traffic ('' disables)")
     known, rest = parser.parse_known_args(argv)
     _, overrides = parse_overrides(rest)
     cfg = Config.from_overrides(overrides)
@@ -78,6 +82,9 @@ def main(argv=None):
 
     if known.command == "serve":
         from mgsv_tpu.serve.server import RetrievalServer
+        if known.warmup:
+            sizes = [int(x) for x in known.warmup.split(",") if x]
+            engine.warmup(batch_sizes=sizes, top_k=known.top_k)
         RetrievalServer(engine, host=known.host, port=known.port,
                         model_name=cfg.train.name).serve_forever()
         return

@@ -153,3 +153,94 @@ def test_convert_reference_features_cli(tmp_path):
     assert meta.music_ids == music_ids
     np.testing.assert_array_equal(batch["segment_feats"][0],
                                   batch["segment_feats"][2])
+
+
+def test_index_cli_build_query_serve(tmp_path, capsys):
+    """`index build` -> `index query` -> `index serve` end-to-end: packed
+    stores in, ranked JSON out, HTTP round trip with --warmup pre-compile."""
+    import http.client
+    import json
+    import socket
+    import threading
+    import time
+
+    import jax
+
+    from mgsv_tpu.cli import index as cli_index
+    from mgsv_tpu.cli.train import parse_overrides
+    from mgsv_tpu.config import Config
+    from mgsv_tpu.core.checkpoint import CheckpointManager
+    from mgsv_tpu.data.feature_store import PackedFeatureStore
+    from mgsv_tpu.models.made import MaDe
+
+    _, overrides = parse_overrides(TINY)
+    cfg = Config.from_overrides(overrides)
+    model = MaDe(cfg)
+    rng = np.random.RandomState(0)
+    s, f = cfg.data.max_snippet_num, cfg.data.max_v_frames
+
+    music_root = str(tmp_path / "music_store")
+    PackedFeatureStore.build(
+        music_root, [f"m{i}" for i in range(6)],
+        {"feats": rng.randn(6, s, cfg.data.ast_dim).astype(np.float32),
+         "mask": np.ones((6, s), np.float32)})
+    video_root = str(tmp_path / "video_store")
+    vf = rng.randn(2, f, cfg.data.vit_dim).astype(np.float32)
+    PackedFeatureStore.build(
+        video_root, ["v0", "v1"],
+        {"feats": vf, "mask": np.ones((2, f), np.float32)})
+
+    params = model.init(
+        jax.random.PRNGKey(0), vf[:1], np.ones((1, f), np.float32),
+        rng.randn(1, s, cfg.data.ast_dim).astype(np.float32),
+        np.ones((1, s), np.float32), deterministic=True)
+    run_dir = str(tmp_path / "run")
+    mgr = CheckpointManager(run_dir)
+    mgr.save("best_r1", {"params": params})
+    mgr.wait()
+
+    common = ["--ckpt", "best_r1", "--run-dir", run_dir, *TINY]
+    index_path = str(tmp_path / "index.npz")
+
+    cli_index.main(["build", *common, "--music-store", music_root,
+                    "--out", index_path])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built == {"tracks": 6, "path": index_path}
+
+    cli_index.main(["query", *common, "--index", index_path,
+                    "--video-store", video_root, "--video-id", "v1",
+                    "--top-k", "3"])
+    q = json.loads(capsys.readouterr().out)
+    assert q["video_id"] == "v1" and len(q["music_ids"]) == 3
+    assert len(q["moments"]) == 3 and len(q["moments"][0]) == 2
+
+    with socket.socket() as sock:        # find a free port
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
+    threading.Thread(
+        target=cli_index.main,
+        args=(["serve", *common, "--index", index_path, "--warmup", "1",
+               "--top-k", "3", "--host", "127.0.0.1",
+               "--port", str(port)],),
+        daemon=True).start()
+    deadline = time.time() + 300
+    while time.time() < deadline:        # warmup compiles first
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            conn.request("GET", "/healthz")
+            assert json.loads(conn.getresponse().read())["index_size"] == 6
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(1.0)
+    else:
+        raise AssertionError("server did not come up")
+
+    body = json.dumps({"frame_feats": vf[1].tolist(), "top_k": 3})
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/query", body,
+                 {"Content-Type": "application/json"})
+    served = json.loads(conn.getresponse().read())["results"][0]
+    # the served single-video result must equal the CLI query for v1
+    assert served["music_ids"] == q["music_ids"]
+    np.testing.assert_allclose(served["retrieval_scores"],
+                               q["retrieval_scores"], atol=1e-5)
