@@ -145,10 +145,16 @@ def main(argv=None):
                 continue
         if known.export_torch:
             from mgsv_tpu.interop.torch_export import save_reference_checkpoint
-            save_reference_checkpoint(params, cfg, known.export_torch)
+            out = known.export_torch
+            if len(tags) > 1:
+                # sweep mode: one file per checkpoint, tag-suffixed —
+                # a single path would silently export only the first tag
+                out = f"{out}.{os.path.basename(str(tag))}"
+            save_reference_checkpoint(params, cfg, out)
             logging.info("exported %s -> %s (reference torch format)",
-                         tag, known.export_torch)
-            return {tag: {"exported": known.export_torch}}
+                         tag, out)
+            all_results[tag] = {"exported": out}
+            continue
         res = evaluate(model, params, data, cfg, eval_step=shared_eval_step,
                        use_fused_sim=known.fused_sim)
         summary = {**res["retrieval"], **res["localization"], **res["composite"]}

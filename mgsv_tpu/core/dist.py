@@ -53,12 +53,18 @@ def initialize(coordinator_address: Optional[str] = None,
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
             if num_cpu_devices:
                 import os
+                import re
 
+                # replace (not skip) any pre-existing count: a shell's
+                # XLA_FLAGS with a different value would silently win and
+                # the caller's mesh asserts would fail far from the cause
                 flags = os.environ.get("XLA_FLAGS", "")
-                if "host_platform_device_count" not in flags:
-                    os.environ["XLA_FLAGS"] = (
-                        f"{flags} --xla_force_host_platform_device_count="
-                        f"{int(num_cpu_devices)}").strip()
+                flags = re.sub(
+                    r"--xla_force_host_platform_device_count=\d+", "",
+                    flags).strip()
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_force_host_platform_device_count="
+                    f"{int(num_cpu_devices)}").strip()
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(coordinator_address, num_processes,

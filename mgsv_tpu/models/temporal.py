@@ -76,13 +76,23 @@ class FusedTemporalTransformer(nn.Module):
     mlp_dim: int
     out_dim: int
     dropout: float = 0.0
-    dtype: Optional[jnp.dtype] = None   # accepted for signature parity
+    # accepted for signature parity with TemporalTransformer but NOT
+    # honored: the fused kernel takes f32 operands (MXU tiles still run
+    # bf16 under the default matmul precision, so the throughput cost is
+    # HBM traffic only) — warn so a bf16 A/B isn't silently partial
+    dtype: Optional[jnp.dtype] = None
     block_b: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True):
         from mgsv_tpu.ops.pallas.fused_temporal_layer import (
             fused_temporal_layer_train)
+
+        if self.dtype is not None and self.dtype != jnp.float32:
+            import logging
+            logging.getLogger("mgsv_tpu").warning(
+                "FusedTemporalTransformer ignores dtype=%s (f32 operands; "
+                "MXU tiles still bf16 via matmul precision)", self.dtype)
 
         d = self.dim
 

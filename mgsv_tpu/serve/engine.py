@@ -133,8 +133,6 @@ class RetrievalEngine:
             with_cls_token=m.with_cls_token,
             act_after_proj=m.with_act_after_proj, agg_module=m.agg_module,
             dtype=cdtype)
-        self._video_sub = {"params": params["params"]["video_tower"]}
-        self._xpool_sub = {"params": params["params"]["xpool_v2m"]}
         self._xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
 
         self._n_valid = len(index.music_ids)
@@ -168,12 +166,6 @@ class RetrievalEngine:
             self._seg_masks = shard(seg_masks, P(mesh_axis))
             self._music_embs = shard(music_embs, P(mesh_axis))
 
-        @jax.jit
-        def encode_video(frame_feats, frame_mask):
-            return self._video_tower.apply(
-                self._video_sub, frame_feats, frame_mask, deterministic=True)
-
-        self._encode_video = encode_video
         self._query_jit = self._make_query()
 
     def _localize_core(self, params, tokens, video_emb, fmask,
@@ -283,16 +275,17 @@ class RetrievalEngine:
             tokens, video_emb, fmask = self._video_tower.apply(
                 {"params": params["params"]["video_tower"]},
                 frame_feats, frame_mask, deterministic=True)
+            xpool_sub = {"params": params["params"]["xpool_v2m"]}
             sims = dual_similarity(video_emb, music_embs)
             if mesh is None:
                 sims = sims + xpool_similarity_blocked(
-                    self._xpool.apply, self._xpool_sub, video_emb,
+                    self._xpool.apply, xpool_sub, video_emb,
                     seg_tokens,
                     seg_masks if fusion_mask else None,
                     block_size=block)                           # [B, M]
             else:
                 sims = sims + _xpool_sims_sharded(
-                    self._xpool_sub, video_emb, seg_tokens, seg_masks)
+                    xpool_sub, video_emb, seg_tokens, seg_masks)
                 # pad tracks (index padded to the mesh axis size) never rank
                 sims = jnp.where(
                     jnp.arange(sims.shape[1])[None, :] < n_valid,
@@ -337,7 +330,15 @@ class RetrievalEngine:
     def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
               top_k: int = 5) -> List[Dict]:
         """frame_feats: [B, F, vit_dim]; returns per query a dict with
-        ranked music ids/scores and a localized moment per candidate."""
+        ranked music ids/scores and a localized moment per candidate.
+
+        top_k is clamped to the catalog size and bucketed to the next
+        power of two before dispatch (results sliced back to the request):
+        top_k is a static jit argument, so without bucketing a client
+        cycling top_k values could force a fresh multi-minute compile per
+        value while holding the serving lock."""
+        k_req = max(1, min(int(top_k), self._n_valid))
+        k_run = min(self._bucket(k_req), self._n_valid)
         b_real = frame_feats.shape[0]
         b_pad = self._bucket(b_real)
         if b_pad != b_real:
@@ -353,11 +354,11 @@ class RetrievalEngine:
         frame_mask = jnp.asarray(frame_mask, jnp.float32)
         order_d, top_sims, spans_d, scores_d = self._query_jit(
             self.params, self._music_embs, self._seg_tokens, self._seg_masks,
-            frame_feats, frame_mask, int(top_k))
-        order = np.asarray(order_d)[:b_real]                    # [B, k]
-        top_scores = np.asarray(top_sims)
-        spans = np.asarray(spans_d)
-        loc_scores = np.asarray(scores_d)
+            frame_feats, frame_mask, k_run)
+        order = np.asarray(order_d)[:b_real, :k_req]            # [B, k]
+        top_scores = np.asarray(top_sims)[:b_real, :k_req]
+        spans = np.asarray(spans_d)[:b_real, :k_req]
+        loc_scores = np.asarray(scores_d)[:b_real, :k_req]
         b = order.shape[0]
 
         results = []

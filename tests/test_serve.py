@@ -183,6 +183,12 @@ def test_query_batch_bucketing_matches_per_row():
     engine.query(frame_feats, frame_mask, top_k=3)       # b=3 -> bucket 4, hit
     assert engine._query_jit._cache_size() == sizes + 1
 
+    # top_k beyond the catalog clamps instead of crashing lax.top_k
+    over = engine.query(frame_feats[:1], frame_mask[:1], top_k=50)[0]
+    assert sorted(over["music_ids"]) == sorted(music_ids)  # all 8, ranked
+    assert over["retrieval_scores"] == sorted(
+        over["retrieval_scores"], reverse=True)
+
 
 def test_mesh_sharded_engine_matches_single_device():
     """Index sharded over the 8-device mesh (music axis, 12 tracks -> pad
