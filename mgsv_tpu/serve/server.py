@@ -11,8 +11,12 @@ no web framework) exposing the production capability the engine provides:
                        (ranked music_ids, retrieval_scores, moments in
                        seconds, moment_scores)
 
-Queries are served from a single background lock — device dispatch is
-serialized (one jitted program per (B, top_k) shape), while request
+Concurrent requests are micro-batched: the device runs ONE query program
+at a time, so a coalescer thread drains whatever requests arrived while
+the previous dispatch ran and sends them as one batch (engine.query is
+dispatch-bound at small B — ~128 ms at B=1 vs ~195 ms at B=32 against a
+4,096-track index on v5e, BASELINE.md — so coalescing multiplies
+throughput under load instead of queueing it).  Request
 parsing/serialization happens per-connection in the threaded HTTP server.
 
 The reference has no serving story (its eval loop ranks a closed split);
@@ -23,7 +27,9 @@ from __future__ import annotations
 
 import json
 import logging
+import queue
 import threading
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -32,8 +38,73 @@ import numpy as np
 logger = logging.getLogger("mgsv_tpu")
 
 
+class MicroBatcher:
+    """Coalesces concurrent query() calls into single engine dispatches.
+
+    A request enters the queue with a Future; the loop thread takes the
+    first waiting request, then drains (up to `max_wait_ms` more) whatever
+    else is queued up to `max_batch` rows, stacks the rows, runs ONE
+    engine.query at the max requested top_k, and distributes the
+    per-request slices.  Under no concurrency this adds one queue hop and
+    at most `max_wait_ms` of latency; under load the batch fills while
+    the previous dispatch runs."""
+
+    def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 3.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.dispatches = 0          # observability + tests
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
+              top_k: int):
+        fut: Future = Future()
+        self._q.put((frame_feats, frame_mask, int(top_k), fut))
+        return fut.result()
+
+    def _drain(self):
+        import time
+
+        first = self._q.get()
+        items, rows = [first], first[0].shape[0]
+        deadline = time.monotonic() + self.max_wait_s
+        while rows < self.max_batch:
+            budget = deadline - time.monotonic()
+            try:
+                item = (self._q.get(timeout=budget) if budget > 0
+                        else self._q.get_nowait())
+            except queue.Empty:
+                break
+            items.append(item)
+            rows += item[0].shape[0]
+        return items
+
+    def _loop(self):
+        while True:
+            items = self._drain()
+            feats = np.concatenate([it[0] for it in items])
+            masks = np.concatenate([it[1] for it in items])
+            k_max = max(it[2] for it in items)
+            try:
+                results = self.engine.query(feats, masks, top_k=k_max)
+                self.dispatches += 1
+            except Exception as e:  # pragma: no cover - engine failure
+                for *_, fut in items:
+                    fut.set_exception(e)
+                continue
+            off = 0
+            for ff, _, k, fut in items:
+                rows = results[off:off + ff.shape[0]]
+                fut.set_result([
+                    {key: (v[:k] if isinstance(v, list) else v)
+                     for key, v in r.items()} for r in rows])
+                off += ff.shape[0]
+
+
 def make_handler(engine, model_name: str):
-    lock = threading.Lock()
+    batcher = MicroBatcher(engine)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -54,6 +125,7 @@ def make_handler(engine, model_name: str):
                 "status": "ok",
                 "index_size": len(engine.index.music_ids),
                 "model": model_name,
+                "dispatches": batcher.dispatches,
             })
 
         def do_POST(self):
@@ -76,14 +148,13 @@ def make_handler(engine, model_name: str):
                     json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
-                with lock:
-                    results = engine.query(frame_feats, frame_mask,
-                                           top_k=top_k)
+                results = batcher.query(frame_feats, frame_mask, top_k=top_k)
             except Exception as e:  # surface engine errors as 500s
                 logger.exception("query failed")
                 return self._reply(500, {"error": str(e)})
             self._reply(200, {"results": results})
 
+    Handler.batcher = batcher       # expose for tests/observability
     return Handler
 
 

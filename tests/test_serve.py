@@ -113,8 +113,9 @@ def test_http_server_round_trip(tmp_path):
         conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
         conn.request("GET", "/healthz")
         health = json.loads(conn.getresponse().read())
-        assert health == {"status": "ok", "index_size": n_music,
-                          "model": "made"}
+        assert health["status"] == "ok"
+        assert health["index_size"] == n_music
+        assert health["model"] == "made"
 
         body = json.dumps({"frame_feats": frame_feats.tolist(),
                            "frame_mask": frame_mask.tolist(), "top_k": 3})
@@ -228,3 +229,55 @@ def test_mesh_sharded_engine_matches_single_device():
         np.testing.assert_allclose(a["moments"], b["moments"], atol=1e-3)
         np.testing.assert_allclose(a["moment_scores"], b["moment_scores"],
                                    atol=1e-5)
+
+
+def test_micro_batcher_coalesces_concurrent_requests():
+    """Concurrent queries are coalesced into fewer engine dispatches, and
+    every caller gets exactly the rows/top_k it asked for — equal to a
+    direct engine.query of the same row."""
+    import threading
+
+    from mgsv_tpu.serve.server import MicroBatcher
+
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(4)
+    n_music, s, f = 8, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(6, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((6, f), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats[:1]),
+        jnp.asarray(frame_mask[:1]), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+    engine = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+    engine.warmup(batch_sizes=(1, 6), top_k=3)   # compile before timing
+
+    # long wait so all 6 threads coalesce deterministically on slow CPUs
+    batcher = MicroBatcher(engine, max_batch=32, max_wait_ms=2000.0)
+    direct = engine.query(frame_feats, frame_mask, top_k=3)
+
+    results = [None] * 6
+    def call(i):
+        results[i] = batcher.query(frame_feats[i:i + 1],
+                                   frame_mask[i:i + 1], top_k=2 + (i % 2))
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert batcher.dispatches < 6        # coalesced (usually 1-2)
+    for i, r in enumerate(results):
+        assert r is not None and len(r) == 1
+        k = 2 + (i % 2)
+        assert r[0]["music_ids"] == direct[i]["music_ids"][:k]
+        np.testing.assert_allclose(r[0]["retrieval_scores"],
+                                   direct[i]["retrieval_scores"][:k],
+                                   atol=1e-5)
+        np.testing.assert_allclose(r[0]["moments"],
+                                   direct[i]["moments"][:k], atol=1e-3)
