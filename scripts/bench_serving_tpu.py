@@ -75,6 +75,43 @@ def main():
         results[f"query_b{b}_p50_ms"] = round(p50 * 1e3, 1)
         results[f"query_b{b}_qps"] = round(b / p50, 1)
 
+    # concurrent single-video clients through the HTTP front's
+    # micro-batcher (serve/server.py): dispatch-bound queries coalesce
+    # into few device dispatches, so sustained qps under load should
+    # approach the B=32 batched number, not the B=1 one
+    import threading
+
+    from mgsv_tpu.serve.server import MicroBatcher
+
+    batcher = MicroBatcher(engine, max_batch=32, max_wait_ms=3.0)
+    n_req, n_workers = 256, 32
+    reqs = [(rng.randn(1, F, 512).astype(np.float32),
+             np.ones((1, F), np.float32)) for _ in range(n_workers)]
+    batcher.query(*reqs[0], top_k=top_k)                 # warm the path
+    done = threading.Semaphore(0)
+    counter = {"left": n_req}
+    lock = threading.Lock()
+
+    def worker(i):
+        while True:
+            with lock:
+                if counter["left"] <= 0:
+                    break
+                counter["left"] -= 1
+            batcher.query(*reqs[i], top_k=top_k)
+        done.release()
+
+    d0 = batcher.dispatches
+    t0 = time.perf_counter()
+    for i in range(n_workers):
+        threading.Thread(target=worker, args=(i,), daemon=True).start()
+    for _ in range(n_workers):
+        done.acquire()
+    dt = time.perf_counter() - t0
+    results["concurrent_clients"] = n_workers
+    results["concurrent_qps"] = round(n_req / dt, 1)
+    results["concurrent_dispatches"] = batcher.dispatches - d0
+
     print(json.dumps(results))
 
 
