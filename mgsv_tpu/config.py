@@ -110,6 +110,15 @@ class ModelConfig:
     detr_ffn_dim: int = 1024
     detr_dropout: float = 0.1
     detr_pre_norm: bool = False
+    # Pad the fused (video+music) detection sequence up to a multiple of
+    # this many tokens (mask-zero pads) before the DETR stack.  The paper
+    # shape is L=146 (50 frames + 96 snippets), a misaligned sublane count
+    # on TPU: padding to 152 makes the fused encoder layer FASTER in
+    # absolute time (8.62 -> 7.94 ms fwd+bwd, 4.31 -> 3.78 fwd at bs=512
+    # on v5e, scripts/exp_seq_pad_tpu.py) despite +4% masked tokens.
+    # 1 disables.  Math is unchanged for valid tokens (pad keys are
+    # masked out of every softmax; pad rows never leave the stack).
+    detr_seq_pad_multiple: int = 8
     # NOTE: the reference's decoder_SA=0 flag is *inert*: build_transformer
     # (music_detr/transformer.py:325-335) never forwards `args`, so the
     # skip-branch guard `self.args is not None and self.args.decoder_SA == 0`

@@ -184,6 +184,12 @@ class RetrievalEngine:
         p = params["params"]
         fused = jnp.concatenate([tokens, seg_tokens], axis=1)
         fused_mask = jnp.concatenate([fmask, seg_masks], axis=1)
+        # same sublane-alignment padding as MaDe's detection fusion
+        padm = m.detr_seq_pad_multiple
+        extra = (-fused.shape[1]) % padm if padm > 1 else 0
+        if extra:
+            fused = jnp.pad(fused, ((0, 0), (0, extra), (0, 0)))
+            fused_mask = jnp.pad(fused_mask, ((0, 0), (0, extra)))
         pos = L.position_embedding_sine(fused_mask, m.dim_input)
         nq = m.num_moment_queries
         target = jnp.broadcast_to(
