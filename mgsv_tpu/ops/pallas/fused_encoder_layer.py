@@ -76,8 +76,11 @@ def _fused_layer_kernel(x_ref, pos_ref, mask_ref, seed_ref,
 
     for r in range(bb):
         row_tag = pl.program_id(0) * bb + r
-        x = x_ref[r]                                         # [L, D]
-        qk_in = x + pos_ref[r]
+        # Operands may arrive bf16 (operand_dtype="bf16": halves the HBM
+        # read of x/pos when the caller computes in bf16 anyway); all
+        # in-kernel math stays f32 regardless.
+        x = x_ref[r].astype(jnp.float32)                     # [L, D]
+        qk_in = x + pos_ref[r].astype(jnp.float32)
         qk = jnp.dot(cast(qk_in), cast(wqk_ref[:]),
                      preferred_element_type=jnp.float32) + bqk_ref[:]
         q, k = qk[:, :d], qk[:, d:]
@@ -199,6 +202,7 @@ def fused_encoder_layer(
     seed: Optional[jnp.ndarray] = None,   # int32 [1]; required when rate > 0
     return_masks: bool = False,
     precision: str = "f32",               # "f32" | "bf16" MXU tiles
+    operand_dtype: str = "f32",           # "f32" | "bf16" x/pos HBM I/O
 ) -> jnp.ndarray:
     """Forward of DetrEncoderLayer(pre_norm=False); in-kernel dropout when
     rate > 0 (training)."""
@@ -258,6 +262,7 @@ def fused_encoder_layer(
         ]
 
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else None
+    op_dt = jnp.bfloat16 if operand_dtype == "bf16" else jnp.float32
     outs = pl.pallas_call(
         functools.partial(_fused_layer_kernel, heads=heads, rate=rate,
                           emit_masks=emit_masks, mxu_dtype=mxu_dtype),
@@ -285,7 +290,7 @@ def fused_encoder_layer(
             bytes_accessed=2 * x.size * 4,
             transcendentals=bp * heads * L * L,
         ),
-    )(x.astype(jnp.float32), pos.astype(jnp.float32),
+    )(x.astype(op_dt), pos.astype(op_dt),
       mask.astype(jnp.float32)[:, None, :],
       seed.astype(jnp.int32).reshape((1,)),
       wqk, bqk, sa["v_proj"]["kernel"], sa["v_proj"]["bias"],
