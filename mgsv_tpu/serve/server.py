@@ -81,16 +81,36 @@ class MicroBatcher:
             rows += item[0].shape[0]
         return items
 
+    @staticmethod
+    def _stack(items):
+        """Stack request rows, padding shorter clips to the batch's max
+        frame count with mask-zero frames (semantically exact: masked
+        frames are excluded from attention and the mean-pool).  Raises on
+        genuinely incompatible shapes (e.g. feature-dim mismatch) — the
+        caller turns that into per-request errors."""
+        L = max(it[0].shape[1] for it in items)
+        feats, masks = [], []
+        for ff, fm, *_ in items:
+            pad = L - ff.shape[1]
+            if pad:
+                ff = np.pad(ff, ((0, 0), (0, pad), (0, 0)))
+                fm = np.pad(fm, ((0, 0), (0, pad)))
+            feats.append(ff)
+            masks.append(fm)
+        return np.concatenate(feats), np.concatenate(masks)
+
     def _loop(self):
         while True:
             items = self._drain()
-            feats = np.concatenate([it[0] for it in items])
-            masks = np.concatenate([it[1] for it in items])
-            k_max = max(it[2] for it in items)
+            # everything up to distribution is guarded: a malformed request
+            # (mismatched dims) must fail ITS futures, never kill the loop
+            # thread (which would hang every later request forever)
             try:
+                feats, masks = self._stack(items)
+                k_max = max(it[2] for it in items)
                 results = self.engine.query(feats, masks, top_k=k_max)
                 self.dispatches += 1
-            except Exception as e:  # pragma: no cover - engine failure
+            except Exception as e:
                 for *_, fut in items:
                     fut.set_exception(e)
                 continue

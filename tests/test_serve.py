@@ -281,3 +281,70 @@ def test_micro_batcher_coalesces_concurrent_requests():
                                    atol=1e-5)
         np.testing.assert_allclose(r[0]["moments"],
                                    direct[i]["moments"][:k], atol=1e-3)
+
+
+def test_micro_batcher_survives_mixed_and_malformed_requests():
+    """(1) Requests with different frame counts coalesce into one dispatch
+    (shorter clips padded with mask-zero frames — same result as querying
+    the padded row directly).  (2) A request with an incompatible feature
+    dim fails with an exception on ITS future only; the loop thread stays
+    alive and keeps serving later requests."""
+    import threading
+
+    import pytest
+
+    from mgsv_tpu.serve.server import MicroBatcher
+
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(7)
+    n_music, s, f = 6, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(2, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((2, f), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats[:1]),
+        jnp.asarray(frame_mask[:1]), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+    engine = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+
+    batcher = MicroBatcher(engine, max_batch=32, max_wait_ms=2000.0)
+
+    # short clip = first 5 frames valid; its padded-to-f equivalent
+    short_feats = frame_feats[1:2, :5].copy()
+    short_mask = frame_mask[1:2, :5].copy()
+    padded_feats = np.pad(short_feats, ((0, 0), (0, f - 5), (0, 0)))
+    padded_mask = np.pad(short_mask, ((0, 0), (0, f - 5)))
+    direct_full = engine.query(frame_feats[:1], frame_mask[:1], top_k=3)
+    direct_short = engine.query(padded_feats, padded_mask, top_k=3)
+
+    results = [None, None]
+    def call(i, ff, fm):
+        results[i] = batcher.query(ff, fm, top_k=3)
+    threads = [
+        threading.Thread(target=call, args=(0, frame_feats[:1], frame_mask[:1])),
+        threading.Thread(target=call, args=(1, short_feats, short_mask)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert batcher.dispatches == 1        # mixed-L coalesced into one
+    assert results[0][0]["music_ids"] == direct_full[0]["music_ids"][:3]
+    assert results[1][0]["music_ids"] == direct_short[0]["music_ids"][:3]
+    np.testing.assert_allclose(results[1][0]["retrieval_scores"],
+                               direct_short[0]["retrieval_scores"][:3],
+                               atol=1e-5)
+
+    # malformed: wrong feature dim -> exception on this call only
+    bad = rng.randn(1, f, cfg.data.vit_dim + 3).astype(np.float32)
+    with pytest.raises(Exception):
+        batcher.query(bad, frame_mask[:1], top_k=3)
+    # loop thread survived: a later good request still completes
+    again = batcher.query(frame_feats[:1], frame_mask[:1], top_k=3)
+    assert again[0]["music_ids"] == direct_full[0]["music_ids"][:3]
