@@ -53,9 +53,12 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8008)
     parser.add_argument(
-        "--warmup", default="1,8,32",
+        "--warmup", default="1,2,4,8,16,32",
         help="serve: comma-separated batch buckets to pre-compile before "
-             "accepting traffic ('' disables)")
+             "accepting traffic ('' disables).  The default covers every "
+             "power-of-two bucket the micro-batcher can produce up to its "
+             "max_batch=32, so no client burst pays a compile; trim the "
+             "list to start faster at the cost of cold buckets")
     known, rest = parser.parse_known_args(argv)
     _, overrides = parse_overrides(rest)
     cfg = Config.from_overrides(overrides)

@@ -69,13 +69,32 @@ def rect_rank(sim_matrix: np.ndarray, col_music_ids: Sequence[str],
     col_of = {m: j for j, m in enumerate(cols)}
     gt_col = np.asarray([col_of[m] for m in gt_music_ids])
     gt_sim = sim_matrix[np.arange(len(gt_col)), gt_col]
-    # rank = #tracks strictly better + #equal-and-earlier-in-sort-order
-    # (matches argsort(kind="stable") + first-occurrence scan semantics)
+    # rank = #tracks strictly better + #exact-ties that sort earlier.
+    # In the square matrix's stable argsort the first occurrence of a track
+    # is its earliest VIDEO-order column, so a tied track counts before the
+    # GT iff its first occurrence in gt_music_ids is earlier — NOT iff its
+    # unique-column index is smaller.  Tracks absent from gt_music_ids have
+    # no column in the square formulation at all: they never count on a
+    # tie (strictly-better absent tracks still count — they are real
+    # catalog candidates; the square equivalence is only defined when the
+    # catalog equals the split's unique tracks, as at 53k x 4k).
     better = (sim_matrix > gt_sim[:, None]).sum(axis=1)
     ties = (sim_matrix == gt_sim[:, None])
-    tie_before = np.asarray(
-        [ties[i, :gt_col[i]].sum() for i in range(len(gt_col))])
+    tie_key = _first_occurrence_keys(cols, col_of, gt_music_ids)
+    tie_before = (ties & (tie_key[None, :] < tie_key[gt_col][:, None])).sum(axis=1)
     return better + tie_before
+
+
+def _first_occurrence_keys(cols: np.ndarray, col_of: Dict,
+                           gt_music_ids: Sequence[str]) -> np.ndarray:
+    """Per unique-track column: first row index in gt_music_ids whose GT is
+    that track (= the track's earliest video-order column in the square
+    matrix), or N for tracks no video uses."""
+    n = len(gt_music_ids)
+    keys = np.full(len(cols), n, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        keys[col_of[gt_music_ids[i]]] = i
+    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -125,12 +144,12 @@ def dedup_rank_device(sim, music_ids: Sequence[str]):
 
 
 @jax.jit
-def _rect_rank_jax(sim, gt_col):
-    cols = jnp.arange(sim.shape[1])
+def _rect_rank_jax(sim, gt_col, tie_key):
     gt_sim = jnp.take_along_axis(sim, gt_col[:, None], axis=1)
     better = (sim > gt_sim).sum(axis=1)
+    # same first-video-occurrence tie order as rect_rank (see its comment)
     tie_before = ((sim == gt_sim)
-                  & (cols[None, :] < gt_col[:, None])).sum(axis=1)
+                  & (tie_key[None, :] < tie_key[gt_col][:, None])).sum(axis=1)
     return better + tie_before
 
 
@@ -141,7 +160,8 @@ def rect_rank_device(sim, col_music_ids: Sequence[str],
     assert len(np.unique(cols)) == len(cols), "columns must be unique tracks"
     col_of = {m: j for j, m in enumerate(cols)}
     gt_col = jnp.asarray([col_of[m] for m in gt_music_ids])
-    return np.asarray(_rect_rank_jax(sim, gt_col))
+    tie_key = jnp.asarray(_first_occurrence_keys(cols, col_of, gt_music_ids))
+    return np.asarray(_rect_rank_jax(sim, gt_col, tie_key))
 
 
 def _recall_from_ranks(ranks: np.ndarray) -> Dict[str, float]:

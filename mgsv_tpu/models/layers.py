@@ -42,6 +42,25 @@ def sinusoidal_table(seq_len: int, dim: int) -> np.ndarray:
     return pe
 
 
+def pad_fused_sequence(fused: jnp.ndarray, mask: jnp.ndarray, multiple: int):
+    """Pad the fused detection sequence [B, L, D] (+ its [B, L] mask) with
+    mask-zero tokens up to a multiple of `multiple` tokens.
+
+    TPU sublane alignment: the paper shape L=146 (50 frames + 96 snippets)
+    is misaligned; padding to 152 makes the fused encoder layer FASTER in
+    absolute time despite +4% masked tokens (scripts/exp_seq_pad_tpu.py,
+    measurements in config.py at detr_seq_pad_multiple).  Valid tokens'
+    math is unchanged: pads are masked out of every softmax, the masked
+    mean-pool, and the decoder's cross-attention.  Shared by training
+    (models/made.py) and serving (serve/engine.py) so the two paths cannot
+    drift.  multiple <= 1 disables."""
+    extra = (-fused.shape[1]) % multiple if multiple > 1 else 0
+    if extra:
+        fused = jnp.pad(fused, ((0, 0), (0, extra), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, extra)))
+    return fused, mask
+
+
 def position_embedding_sine(
     mask: jnp.ndarray, num_pos_feats: int, temperature: float = 10000.0,
 ) -> jnp.ndarray:

@@ -213,16 +213,9 @@ class MaDe(nn.Module):
         else:
             raise ValueError(f"unsupported mml_fusion: {m.mml_fusion}")
 
-        # TPU sublane alignment: pad the detection sequence to a multiple
-        # of detr_seq_pad_multiple with mask-zero tokens (measured faster
-        # in absolute time at the paper shape — see config.py).  Valid
-        # tokens' math is unchanged: pads are masked out of every softmax,
-        # the masked mean-pool, and the decoder's cross-attention.
-        padm = m.detr_seq_pad_multiple
-        extra = (-fused.shape[1]) % padm if padm > 1 else 0
-        if extra:
-            fused = jnp.pad(fused, ((0, 0), (0, extra), (0, 0)))
-            fused_mask = jnp.pad(fused_mask, ((0, 0), (0, extra)))
+        # TPU sublane alignment (measured faster — see layers.py docstring)
+        fused, fused_mask = L.pad_fused_sequence(
+            fused, fused_mask, m.detr_seq_pad_multiple)
 
         pos = L.position_embedding_sine(fused_mask, d)    # model_Uni.py:216
 

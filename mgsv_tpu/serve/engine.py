@@ -184,12 +184,10 @@ class RetrievalEngine:
         p = params["params"]
         fused = jnp.concatenate([tokens, seg_tokens], axis=1)
         fused_mask = jnp.concatenate([fmask, seg_masks], axis=1)
-        # same sublane-alignment padding as MaDe's detection fusion
-        padm = m.detr_seq_pad_multiple
-        extra = (-fused.shape[1]) % padm if padm > 1 else 0
-        if extra:
-            fused = jnp.pad(fused, ((0, 0), (0, extra), (0, 0)))
-            fused_mask = jnp.pad(fused_mask, ((0, 0), (0, extra)))
+        # same sublane-alignment padding as MaDe's detection fusion —
+        # shared helper so serving cannot drift from training
+        fused, fused_mask = L.pad_fused_sequence(
+            fused, fused_mask, m.detr_seq_pad_multiple)
         pos = L.position_embedding_sine(fused_mask, m.dim_input)
         nq = m.num_moment_queries
         target = jnp.broadcast_to(
@@ -321,10 +319,14 @@ class RetrievalEngine:
             n *= 2
         return n
 
-    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32),
+    def warmup(self, batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32),
                top_k: int = 5) -> None:
         """Pre-compile the query program at the given batch buckets so the
-        first real client request doesn't pay compile latency."""
+        first real client request doesn't pay compile latency.  The default
+        covers every bucket the serving micro-batcher can produce up to its
+        max_batch=32.  Note top_k is bucketed too (query() docstring): a
+        client's first use of a NEW top_k bucket beyond bucket(top_k) still
+        pays one compile — warm the k values you expect."""
         F = self.cfg.data.max_v_frames
         vit = self.cfg.data.vit_dim
         for b in sorted({self._bucket(int(x)) for x in batch_sizes}):

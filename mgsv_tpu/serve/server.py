@@ -49,10 +49,15 @@ class MicroBatcher:
     at most `max_wait_ms` of latency; under load the batch fills while
     the previous dispatch runs."""
 
-    def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 3.0):
+    def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 3.0,
+                 result_timeout_s: float = 900.0):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # generous: a cold top_k/batch bucket pays a jit compile (minutes
+        # over a remote-TPU tunnel); the timeout exists so a dead loop
+        # thread fails requests instead of hanging them forever
+        self.result_timeout_s = result_timeout_s
         self.dispatches = 0          # observability + tests
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -62,7 +67,7 @@ class MicroBatcher:
               top_k: int):
         fut: Future = Future()
         self._q.put((frame_feats, frame_mask, int(top_k), fut))
-        return fut.result()
+        return fut.result(timeout=self.result_timeout_s)
 
     def _drain(self):
         import time
@@ -81,46 +86,64 @@ class MicroBatcher:
             rows += item[0].shape[0]
         return items
 
-    @staticmethod
-    def _stack(items):
-        """Stack request rows, padding shorter clips to the batch's max
-        frame count with mask-zero frames (semantically exact: masked
-        frames are excluded from attention and the mean-pool).  Raises on
-        genuinely incompatible shapes (e.g. feature-dim mismatch) — the
-        caller turns that into per-request errors."""
-        L = max(it[0].shape[1] for it in items)
-        feats, masks = [], []
-        for ff, fm, *_ in items:
-            pad = L - ff.shape[1]
-            if pad:
-                ff = np.pad(ff, ((0, 0), (0, pad), (0, 0)))
-                fm = np.pad(fm, ((0, 0), (0, pad)))
-            feats.append(ff)
-            masks.append(fm)
-        return np.concatenate(feats), np.concatenate(masks)
+    def _validate(self, it):
+        """Shape-check one request against the engine's canonical input
+        contract and normalize its frame count to max_v_frames (pad with
+        mask-zero frames — semantically exact, masked frames are excluded
+        from attention and the mean-pool; truncate beyond max_v_frames,
+        the task's clip cap).  A canonical L means every dispatch reuses
+        the warmed (batch-bucket, k-bucket) programs instead of compiling
+        a fresh program per distinct client frame count."""
+        ff, fm, k, fut = it
+        cfg = self.engine.cfg.data
+        if ff.ndim != 3 or ff.shape[2] != cfg.vit_dim:
+            raise ValueError(
+                f"frame_feats must be [B, L, {cfg.vit_dim}], got "
+                f"{tuple(ff.shape)}")
+        if fm.shape != ff.shape[:2]:
+            raise ValueError(
+                f"frame_mask {tuple(fm.shape)} does not match frame_feats "
+                f"{tuple(ff.shape[:2])}")
+        F = cfg.max_v_frames
+        if ff.shape[1] > F:
+            ff, fm = ff[:, :F], fm[:, :F]
+        elif ff.shape[1] < F:
+            pad = F - ff.shape[1]
+            ff = np.pad(ff, ((0, 0), (0, pad), (0, 0)))
+            fm = np.pad(fm, ((0, 0), (0, pad)))
+        return ff, fm, k, fut
 
     def _loop(self):
         while True:
             items = self._drain()
-            # everything up to distribution is guarded: a malformed request
-            # (mismatched dims) must fail ITS futures, never kill the loop
-            # thread (which would hang every later request forever)
+            # per-request validation first: a malformed request fails ITS
+            # future only, never the cohort it was coalesced with and
+            # never the loop thread (which would hang every later request)
+            good = []
+            for it in items:
+                try:
+                    good.append(self._validate(it))
+                except Exception as e:
+                    it[-1].set_exception(e)
+            if not good:
+                continue
             try:
-                feats, masks = self._stack(items)
-                k_max = max(it[2] for it in items)
+                feats = np.concatenate([it[0] for it in good])
+                masks = np.concatenate([it[1] for it in good])
+                k_max = max(it[2] for it in good)
                 results = self.engine.query(feats, masks, top_k=k_max)
                 self.dispatches += 1
+                off = 0
+                for ff, _, k, fut in good:
+                    rows = results[off:off + ff.shape[0]]
+                    fut.set_result([
+                        {key: (v[:k] if isinstance(v, list) else v)
+                         for key, v in r.items()} for r in rows])
+                    off += ff.shape[0]
             except Exception as e:
-                for *_, fut in items:
-                    fut.set_exception(e)
-                continue
-            off = 0
-            for ff, _, k, fut in items:
-                rows = results[off:off + ff.shape[0]]
-                fut.set_result([
-                    {key: (v[:k] if isinstance(v, list) else v)
-                     for key, v in r.items()} for r in rows])
-                off += ff.shape[0]
+                for *_, fut in good:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
 def make_handler(engine, model_name: str):

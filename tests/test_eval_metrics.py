@@ -127,6 +127,19 @@ def test_rect_rank_equals_dedup_rank():
     for k in ("R1", "R5", "R10", "MedianR", "MRR"):
         assert m_rect[k] == m_square[k], k
 
+    # exact ties between DISTINCT tracks (quantized sims — e.g. duplicate
+    # audio or low-precision storage): the square dedup ranking breaks
+    # them by first VIDEO-order occurrence, which is not the unique-column
+    # order — the rect path must reproduce that, host and device
+    rect_t = np.round(rect * 2) / 2
+    square_t = rect_t[:, [col[m] for m in gt]]
+    np.testing.assert_array_equal(
+        rect_rank(rect_t, track_ids, gt), dedup_rank(square_t, gt))
+    from mgsv_tpu.eval import metrics as M
+    np.testing.assert_array_equal(
+        M.rect_rank_device(jnp.asarray(rect_t, jnp.float32), track_ids, gt),
+        dedup_rank(square_t.astype(np.float32), gt))
+
 
 def _tied_problem(n=48, n_unique=20, seed=3):
     """Similarity with deliberate exact ties (quantized values) so the

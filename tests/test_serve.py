@@ -348,3 +348,23 @@ def test_micro_batcher_survives_mixed_and_malformed_requests():
     # loop thread survived: a later good request still completes
     again = batcher.query(frame_feats[:1], frame_mask[:1], top_k=3)
     assert again[0]["music_ids"] == direct_full[0]["music_ids"][:3]
+
+    # a malformed request COALESCED WITH a good one fails alone — the good
+    # cohort member still gets its answer (per-request validation)
+    outcome = [None, None]
+    def call_good():
+        outcome[0] = batcher.query(frame_feats[:1], frame_mask[:1], top_k=3)
+    def call_bad():
+        try:
+            batcher.query(bad, frame_mask[:1], top_k=3)
+            outcome[1] = "no-error"
+        except Exception:
+            outcome[1] = "error"
+    pair = [threading.Thread(target=call_good),
+            threading.Thread(target=call_bad)]
+    for t in pair:
+        t.start()
+    for t in pair:
+        t.join(timeout=600)
+    assert outcome[1] == "error"
+    assert outcome[0][0]["music_ids"] == direct_full[0]["music_ids"][:3]
