@@ -53,6 +53,10 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8008)
     parser.add_argument(
+        "--index-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="query/serve: HBM dtype of the resident token store — "
+             "bfloat16 halves catalog memory (engine docstring)")
+    parser.add_argument(
         "--warmup", default="1,2,4,8,16,32",
         help="serve: comma-separated batch buckets to pre-compile before "
              "accepting traffic ('' disables).  The default covers every "
@@ -81,7 +85,8 @@ def main(argv=None):
         return
 
     index = MusicIndex.load(known.index)
-    engine = RetrievalEngine(model, params, cfg, index)
+    engine = RetrievalEngine(model, params, cfg, index,
+                             index_dtype=known.index_dtype)
 
     if known.command == "serve":
         from mgsv_tpu.serve.server import RetrievalServer

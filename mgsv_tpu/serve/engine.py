@@ -108,7 +108,7 @@ class RetrievalEngine:
     def __init__(self, model: MaDe, params, cfg: Config, index: MusicIndex,
                  sim_block_size: int = 256, use_fused_kernels: bool = False,
                  mesh: Optional["jax.sharding.Mesh"] = None,
-                 mesh_axis: str = "dp"):
+                 mesh_axis: str = "dp", index_dtype: str = "float32"):
         # use_fused_kernels: route the localization DETR through the fused
         # Pallas encoder layers (7.9x over the XLA layer on v5e; post-norm
         # configs only) — opt-in because of kernel compile latency.
@@ -116,6 +116,12 @@ class RetrievalEngine:
         # the query SPMD — the serving analogue of the sharded corpus eval
         # (eval/similarity.py); one engine then serves a catalog larger
         # than a single chip's HBM.
+        # index_dtype: "bfloat16" keeps the HBM-resident token store
+        # (seg_tokens + music_embs — the O(M*S*D) footprint) in bf16,
+        # halving catalog memory (5.2 GB -> 2.6 GB at 53k tracks).  All
+        # compute promotes back through the f32 params, so only the
+        # stored values are rounded; top-k stability vs the f32 index is
+        # pinned in tests/test_serve.py.  Masks stay f32 (tiny).
         self.use_fused_kernels = use_fused_kernels and not cfg.model.detr_pre_norm
         self.model = model
         self.params = params
@@ -135,11 +141,18 @@ class RetrievalEngine:
             dtype=cdtype)
         self._xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
 
+        if index_dtype in ("bf16", "bfloat16"):
+            store_dt = jnp.bfloat16
+        elif index_dtype in ("f32", "float32"):
+            store_dt = jnp.float32
+        else:
+            raise ValueError(f"unsupported index_dtype: {index_dtype}")
+
         self._n_valid = len(index.music_ids)
         if mesh is None:
-            self._seg_tokens = jnp.asarray(index.seg_tokens)
-            self._seg_masks = jnp.asarray(index.seg_masks)
-            self._music_embs = jnp.asarray(index.music_embs)
+            self._seg_tokens = jnp.asarray(index.seg_tokens, store_dt)
+            self._seg_masks = jnp.asarray(index.seg_masks, jnp.float32)
+            self._music_embs = jnp.asarray(index.music_embs, store_dt)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -160,11 +173,11 @@ class RetrievalEngine:
                 music_embs = np.concatenate(
                     [music_embs,
                      np.zeros((pad, music_embs.shape[1]), music_embs.dtype)])
-            shard = lambda x, spec: jax.device_put(
-                jnp.asarray(x), NamedSharding(mesh, spec))
-            self._seg_tokens = shard(seg_tokens, P(mesh_axis))
-            self._seg_masks = shard(seg_masks, P(mesh_axis))
-            self._music_embs = shard(music_embs, P(mesh_axis))
+            shard = lambda x, spec, dt: jax.device_put(
+                jnp.asarray(x, dt), NamedSharding(mesh, spec))
+            self._seg_tokens = shard(seg_tokens, P(mesh_axis), store_dt)
+            self._seg_masks = shard(seg_masks, P(mesh_axis), jnp.float32)
+            self._music_embs = shard(music_embs, P(mesh_axis), store_dt)
 
         self._query_jit = self._make_query()
 

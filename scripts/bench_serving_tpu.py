@@ -37,7 +37,11 @@ def main():
     model = MaDe(cfg)
     rng = np.random.RandomState(0)
     S, F = cfg.data.max_snippet_num, cfg.data.max_v_frames
-    n_tracks, top_k = 4096, 5
+    # catalog size from argv (default: MGSV-EC's 4,096 unique tracks;
+    # pass 53248 for the beyond-dataset single-chip scale artifact —
+    # seg_tokens alone are then [53k, 96, 256] f32 = 5.2 GB of HBM)
+    n_tracks = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    top_k = 5
     results = {"n_tracks": n_tracks, "top_k": top_k}
 
     exb = {

@@ -368,3 +368,36 @@ def test_micro_batcher_survives_mixed_and_malformed_requests():
         t.join(timeout=600)
     assert outcome[1] == "error"
     assert outcome[0][0]["music_ids"] == direct_full[0]["music_ids"][:3]
+
+
+def test_bf16_index_matches_f32_topk():
+    """index_dtype="bfloat16" halves the HBM-resident store; on a catalog
+    with separated tracks the ranking and moments match the f32 engine
+    (only the stored values are rounded — compute promotes back through
+    the f32 params)."""
+    cfg = _cfg()
+    model = MaDe(cfg)
+    rng = np.random.RandomState(12)
+    n_music, s, f = 10, cfg.data.max_snippet_num, cfg.data.max_v_frames
+    seg_feats = rng.randn(n_music, s, cfg.data.ast_dim).astype(np.float32)
+    seg_masks = np.ones((n_music, s), np.float32)
+    music_ids = [f"m{i}" for i in range(n_music)]
+    frame_feats = rng.randn(3, f, cfg.data.vit_dim).astype(np.float32)
+    frame_mask = np.ones((3, f), np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(frame_feats[:1]),
+        jnp.asarray(frame_mask[:1]), jnp.asarray(seg_feats[:1]),
+        jnp.asarray(seg_masks[:1]), deterministic=True)
+    index = build_music_index(model, params, cfg, music_ids, seg_feats,
+                              seg_masks, batch_size=4)
+    e32 = RetrievalEngine(model, params, cfg, index, sim_block_size=4)
+    e16 = RetrievalEngine(model, params, cfg, index, sim_block_size=4,
+                          index_dtype="bfloat16")
+    r32 = e32.query(frame_feats, frame_mask, top_k=4)
+    r16 = e16.query(frame_feats, frame_mask, top_k=4)
+    for a, b in zip(r32, r16):
+        assert a["music_ids"] == b["music_ids"]
+        np.testing.assert_allclose(a["retrieval_scores"],
+                                   b["retrieval_scores"], atol=2e-2)
+        np.testing.assert_allclose(a["moments"], b["moments"], atol=0.5)
