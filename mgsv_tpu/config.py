@@ -56,6 +56,13 @@ class ModelConfig:
 
     # Temporal ("enhancement") transformers — model_Base.py:64-91, 312-355
     temporal_depth: int = 1
+    # Per-tower depth overrides (reference --video_transformer_depth /
+    # --audio_transformer_depth, train-MaDe.py:61-62; both default to the
+    # same value, which temporal_depth covers).  0 = inherit
+    # temporal_depth.  Unsupported with transformer_is_share (the shared
+    # module is one stack).
+    video_temporal_depth: int = 0
+    audio_temporal_depth: int = 0
     temporal_heads: int = 8
     temporal_mlp_dim: int = 1024     # encoder_attention_hidden_dim (model_Base.py:294)
     temporal_dropout: float = 0.8    # r_enc (model_Base.py:296)
@@ -201,8 +208,13 @@ class TrainConfig:
     batch_size_val: int = 40
     matching_lr: float = 3e-4
     detection_lr: float = 3e-4
-    scheduler: str = "warmupcosine"  # warmupcosine|warmuplinear|warmupconstant|constant
+    scheduler: str = "warmupcosine"  # warmupcosine|warmuplinear|warmupconstant|constant|exponential
     warmup_rate: float = 0.02
+    # exponential-scheduler knobs (train-MaDe.py:130,134,285): gamma and
+    # the every-N-steps gating — the one scheduler where lr_update_rate is
+    # not forced to 1 (train-MaDe.py:274-275)
+    decay_rate: float = 0.9
+    lr_update_rate: int = 50
     max_grad_norm: float = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999

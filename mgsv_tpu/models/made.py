@@ -125,8 +125,14 @@ class MaDe(nn.Module):
         cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
 
         # ------------------------------------------------------------- towers
+        # per-tower depth overrides (train-MaDe.py:61-62); 0 = inherit
+        v_depth = m.video_temporal_depth or m.temporal_depth
+        a_depth = m.audio_temporal_depth or m.temporal_depth
         shared_trm = None
         if m.transformer_is_share:
+            assert v_depth == a_depth == m.temporal_depth, (
+                "transformer_is_share uses ONE temporal stack; per-tower "
+                "depth overrides cannot apply")
             trm_cls = (FusedTemporalTransformer if m.fused_temporal
                        else TemporalTransformer)
             shared_trm = trm_cls(
@@ -134,7 +140,7 @@ class MaDe(nn.Module):
                 dropout=m.temporal_dropout, dtype=cdtype, name="shared_temporal",
             )
         frame_tokens, video_emb, frame_mask = Tower(
-            d, m.video_pe_len, m.temporal_depth, m.temporal_heads,
+            d, m.video_pe_len, v_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
             agg_module=m.agg_module, dtype=cdtype, fused=m.fused_temporal,
@@ -142,7 +148,7 @@ class MaDe(nn.Module):
         )(frame_feats, frame_mask, deterministic=deterministic)
 
         seg_tokens, music_emb, segment_mask = Tower(
-            d, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
+            d, m.audio_pe_len, a_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
             agg_module=m.agg_module, dtype=cdtype, fused=m.fused_temporal,

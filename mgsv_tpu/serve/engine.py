@@ -68,7 +68,8 @@ def build_music_index(
 
     cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
     tower = Tower(
-        m.dim_input, m.audio_pe_len, m.temporal_depth, m.temporal_heads,
+        m.dim_input, m.audio_pe_len,
+        m.audio_temporal_depth or m.temporal_depth, m.temporal_heads,
         m.temporal_mlp_dim, m.temporal_dropout,
         with_cls_token=m.with_cls_token, act_after_proj=m.with_act_after_proj,
         agg_module=m.agg_module, dtype=cdtype)
@@ -134,7 +135,8 @@ class RetrievalEngine:
 
         cdtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
         self._video_tower = Tower(
-            m.dim_input, m.video_pe_len, m.temporal_depth, m.temporal_heads,
+            m.dim_input, m.video_pe_len,
+            m.video_temporal_depth or m.temporal_depth, m.temporal_heads,
             m.temporal_mlp_dim, m.temporal_dropout,
             with_cls_token=m.with_cls_token,
             act_after_proj=m.with_act_after_proj, agg_module=m.agg_module,

@@ -140,7 +140,9 @@ def make_optimizer(cfg: Config, total_steps: int,
         return optax.chain(
             optax.clip_by_global_norm(t.max_grad_norm),
             optax.adam(
-                make_schedule(t.scheduler, lr, warmup_steps, total_steps),
+                make_schedule(t.scheduler, lr, warmup_steps, total_steps,
+                              decay_rate=t.decay_rate,
+                              lr_update_rate=t.lr_update_rate),
                 b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
             ),
         )

@@ -57,7 +57,30 @@ def constant(base_lr: float) -> Callable:
     return lambda count: jnp.asarray(base_lr, jnp.float32)
 
 
-def make_schedule(name: str, base_lr: float, warmup_steps: int, total_steps: int) -> Callable:
+def exponential(base_lr: float, gamma: float, update_every: int) -> Callable:
+    """The reference's `--scheduler exponential` branch: torch
+    ExponentialLR(gamma=decay_rate) stepped every `lr_update_rate`
+    optimizer steps (train-MaDe.py:285; the only scheduler for which
+    lr_update_rate is not forced to 1, :274-275).
+
+    The gating uses total_step BEFORE increment and fires AFTER
+    optimizer.step() (train-MaDe.py:378-384, SURVEY §5 quirk #4), so the
+    fire pattern over 0-based optimizer steps t is t ∈ {0, r, 2r, ...}
+    applied from the NEXT step: step t runs at base * gamma^ceil(t/r)
+    (step 0 at base, steps 1..r at base*gamma, ...).  Reproduced exactly,
+    pinned vs torch in tests/test_schedule_parity.py."""
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        fires = jnp.ceil(count / max(1, update_every))
+        return base_lr * jnp.power(gamma, fires)
+
+    return schedule
+
+
+def make_schedule(name: str, base_lr: float, warmup_steps: int,
+                  total_steps: int, decay_rate: float = 0.9,
+                  lr_update_rate: int = 50) -> Callable:
     if name == "warmupcosine":
         return warmup_cosine(base_lr, warmup_steps, total_steps)
     if name == "warmuplinear":
@@ -66,4 +89,6 @@ def make_schedule(name: str, base_lr: float, warmup_steps: int, total_steps: int
         return warmup_constant(base_lr, warmup_steps)
     if name == "constant":
         return constant(base_lr)
+    if name == "exponential":
+        return exponential(base_lr, decay_rate, lr_update_rate)
     raise ValueError(f"unknown scheduler: {name}")

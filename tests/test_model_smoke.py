@@ -106,3 +106,37 @@ def test_config_variants_forward(variant):
     out = model.apply(params, ff, fm, sf, sm, deterministic=True)
     loss, _ = total_loss(out, tgt, cfg)
     assert np.isfinite(float(loss))
+
+
+def test_per_tower_depth_overrides():
+    """video/audio_temporal_depth (reference --video_transformer_depth /
+    --audio_transformer_depth, train-MaDe.py:61-62) build towers of
+    different depths; param tree shows the extra layers and the forward
+    runs."""
+    import dataclasses
+
+    from mgsv_tpu.config import Config, DataConfig, ModelConfig
+
+    data = DataConfig(max_v_frames=6, stride=40.0, filter_sec=40.0,
+                      vit_dim=16, ast_dim=24)
+    model_cfg = ModelConfig(dim_input=16, temporal_mlp_dim=32,
+                            detr_ffn_dim=32, detr_enc_layers=1,
+                            detr_dec_layers=1, temporal_heads=4,
+                            detr_heads=4, contrastive_dim=16,
+                            video_pe_len=8, audio_pe_len=8,
+                            video_temporal_depth=2, audio_temporal_depth=1)
+    cfg = dataclasses.replace(Config(), data=data, model=model_cfg)
+    m = MaDe(cfg)
+    rng = np.random.RandomState(0)
+    B, F, S = 2, 6, cfg.data.max_snippet_num
+    ff = jnp.asarray(rng.randn(B, F, 16), jnp.float32)
+    fm = jnp.ones((B, F), jnp.float32)
+    sf = jnp.asarray(rng.randn(B, S, 24), jnp.float32)
+    sm = jnp.ones((B, S), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), ff, fm, sf, sm,
+                    deterministic=True)
+    vt = params["params"]["video_tower"]["temporal"]
+    at = params["params"]["audio_tower"]["temporal"]
+    assert "attn_1" in vt and "attn_1" not in at   # depth 2 vs depth 1
+    out = m.apply(params, ff, fm, sf, sm, deterministic=True)
+    assert out["video_emb"].shape == (B, 16)

@@ -43,6 +43,29 @@ def test_schedule_matches_torch_lambdalr(name, ref_cls):
     np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.parametrize("update_rate", [1, 7, 50])
+def test_exponential_schedule_matches_torch(update_rate):
+    """`--scheduler exponential`: torch ExponentialLR(gamma=decay_rate)
+    stepped with the reference's gating — AFTER optimizer.step(), when
+    total_step % lr_update_rate == 0 with total_step pre-increment
+    (train-MaDe.py:285, :378-384; lr_update_rate NOT forced to 1 for this
+    scheduler, :274-275)."""
+    base_lr, gamma, total = 3e-4, 0.9, 160
+    param = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([param], lr=base_lr)
+    ref = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=gamma)
+
+    ref_lrs = []
+    for t in range(total):
+        ref_lrs.append(opt.param_groups[0]["lr"])   # lr used by step t
+        if t % update_rate == 0:                    # fires after the step
+            ref.step()
+    ours = sched.make_schedule("exponential", base_lr, 0, total,
+                               decay_rate=gamma, lr_update_rate=update_rate)
+    our_lrs = [float(ours(k)) for k in range(total)]
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-6, atol=1e-12)
+
+
 def test_param_groups_cover_model_and_freeze_query_embed():
     from mgsv_tpu.models.made import MaDe
     import dataclasses
