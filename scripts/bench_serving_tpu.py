@@ -91,6 +91,10 @@ def main():
     n_req, n_workers = 256, 32
     reqs = [(rng.randn(1, F, 512).astype(np.float32),
              np.ones((1, F), np.float32)) for _ in range(n_workers)]
+    # pre-compile EVERY bucket the coalescer can produce (the serve CLI's
+    # default warmup) — otherwise the measurement pays first-touch program
+    # loads for ragged buckets (2/4/16) instead of steady-state latency
+    engine.warmup(top_k=top_k)
     batcher.query(*reqs[0], top_k=top_k)                 # warm the path
     done = threading.Semaphore(0)
     counter = {"left": n_req}
