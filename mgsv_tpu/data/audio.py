@@ -19,6 +19,7 @@ on-TPU preprocessing of batched windows.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -44,9 +45,14 @@ def mel_scale(freq):
     return 1127.0 * np.log(1.0 + np.asarray(freq) / 700.0)
 
 
+@functools.lru_cache(maxsize=8)
 def mel_banks(num_bins: int, fft_size: int, sample_rate: float,
               low_freq: float = LOW_FREQ, high_freq: float = 0.0) -> np.ndarray:
     """Kaldi triangular mel filterbank [num_bins, fft_size // 2 + 1].
+
+    Cached: extract_snippets calls fbank 96x per track, and a real catalog
+    has thousands of tracks — the [128, 257] weights are a pure function
+    of the arguments.  Callers must NOT mutate the returned array.
 
     Kaldi computes each bin's weight from the mel-scale distance between the
     FFT bin's mel frequency and the triangle's left/center/right points.
@@ -68,6 +74,7 @@ def mel_banks(num_bins: int, fft_size: int, sample_rate: float,
     return weights.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
 def _hanning(n: int) -> np.ndarray:
     # kaldi "hanning": 0.5 - 0.5 cos(2 pi k / (N - 1))
     k = np.arange(n)

@@ -29,6 +29,31 @@ class BatchMeta:
     valid: np.ndarray  # [B] bool — False on eval padding rows
 
 
+def epoch_index_batches(
+    n: int, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """The ONE batching contract every dataset front-end shares: seeded
+    per-epoch permutation (the DistributedSampler.set_epoch equivalent,
+    data_dataloaders.py:11 / train-MaDe.py:692), drop_last for train, and
+    repeat-last-row padding + validity mask for eval (metrics exclude
+    padded rows).  Yields ([batch_size] int indices, [batch_size] bool
+    valid).  MgsvDataset and DeviceResidentData both consume this, so the
+    host and device-resident paths cannot drift."""
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.RandomState(seed * 100003 + epoch).permutation(n)
+    limit = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, limit, batch_size):
+        idx = order[start:start + batch_size]
+        valid = np.ones(len(idx), bool)
+        if len(idx) < batch_size and not drop_last:
+            pad = batch_size - len(idx)
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        yield idx, valid
+
+
 class MgsvDataset:
     def __init__(
         self,
@@ -86,22 +111,12 @@ class MgsvDataset:
         self, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
         drop_last: bool = True,
     ) -> Iterator[Tuple[Batch, BatchMeta]]:
-        n = len(self)
-        order = np.arange(n)
-        if shuffle:
-            order = np.random.RandomState(seed * 100003 + epoch).permutation(n)
-        limit = (n // batch_size) * batch_size if drop_last else n
-        for start in range(0, limit, batch_size):
-            idx = order[start:start + batch_size]
-            if len(idx) < batch_size and not drop_last:
-                # pad to static shape; metrics exclude padded rows via `valid`
-                pad = batch_size - len(idx)
-                idx_padded = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-                batch, meta = self.gather(idx_padded)
-                meta.valid[len(idx):] = False
-                yield batch, meta
-            else:
-                yield self.gather(idx)
+        for idx, valid in epoch_index_batches(
+                len(self), batch_size, shuffle=shuffle, seed=seed,
+                epoch=epoch, drop_last=drop_last):
+            batch, meta = self.gather(idx)
+            meta.valid &= valid
+            yield batch, meta
 
     def num_batches(self, batch_size: int, drop_last: bool = True) -> int:
         n = len(self)

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mgsv_tpu.data.dataset import Batch, BatchMeta, MgsvDataset
+from mgsv_tpu.data.dataset import (Batch, BatchMeta, MgsvDataset,
+                                   epoch_index_batches)
 
 
 def dataset_device_bytes(dataset: MgsvDataset) -> int:
@@ -114,21 +115,10 @@ class DeviceResidentData:
         self, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
         drop_last: bool = True,
     ) -> Iterator[Tuple[Batch, BatchMeta]]:
-        n = len(self)
         ix = self.index
-        order = np.arange(n)
-        if shuffle:
-            # same permutation stream as MgsvDataset.epoch_batches
-            order = np.random.RandomState(seed * 100003 + epoch).permutation(n)
-        limit = (n // batch_size) * batch_size if drop_last else n
-        for start in range(0, limit, batch_size):
-            idx = order[start:start + batch_size]
-            valid = np.ones(len(idx), bool)
-            if len(idx) < batch_size and not drop_last:
-                pad = batch_size - len(idx)
-                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-                valid = np.concatenate([valid[:batch_size - pad],
-                                        np.zeros(pad, bool)])
+        for idx, valid in epoch_index_batches(
+                len(self), batch_size, shuffle=shuffle, seed=seed,
+                epoch=epoch, drop_last=drop_last):
             batch = dict(self._gather(jnp.asarray(idx, jnp.int32)))
             # integer track codes for the ignore_same_music InfoNCE branch
             # (host-side: [bs] ints are a trivial upload)

@@ -65,6 +65,21 @@ def load_clip_frames(
     n_avail = len(os.listdir(frame_dir))
     start = math.floor(video_start)
     end = min(math.floor(video_end), n_avail - 1, max_v_frames - 1)
+    # The ABSOLUTE clamp to max_v_frames-1 reproduces the reference
+    # bit-for-bit (rawdata.py:67, valid under its documented in-domain
+    # assumption "all video_start_time < 0.5" so start is always 0; for
+    # start > 0 the reference silently truncates the tail and we match,
+    # so cached features stay identical).  But a window starting past the
+    # clamp would yield ZERO frames — an all-masked sample that poisons
+    # attention downstream; the reference's assert does not catch it
+    # (end-start+1 goes negative).  Fail loudly instead.
+    if end < start:
+        raise ValueError(
+            f"empty frame window for {frame_dir}: start={start}s after "
+            f"clamped end={end}s (n_avail={n_avail}, "
+            f"max_v_frames={max_v_frames}) — MGSV-EC guarantees "
+            "video_start < 0.5 s; for other data keep windows inside the "
+            "first max_v_frames seconds")
 
     frames = np.empty((max_v_frames, 3, resolution, resolution), np.float32)
     mask = np.zeros(max_v_frames, np.float32)

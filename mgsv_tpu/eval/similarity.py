@@ -33,6 +33,27 @@ def _block_sim(apply_fn: Callable, params, video_embs, seg_block, mask_block):
     return sim_matrix_music_pooling(video_embs, pooled)  # [V, block]
 
 
+@functools.lru_cache(maxsize=8)
+def _scan_blocks_program(apply_fn: Callable, masked: bool):
+    """jit cache is keyed on function identity: defining the jitted scan
+    inline in xpool_similarity_blocked would re-trace + re-compile the
+    corpus-similarity program on EVERY eval epoch (tens of seconds over
+    the remote tunnel) — same fix as evaluator._scan_program."""
+
+    @jax.jit
+    def scan_blocks(params, video_embs, seg_blocks, mask_blocks):
+        def body(carry, blk):
+            seg_b, mask_b = blk
+            sims = _block_sim(apply_fn, params, video_embs, seg_b,
+                              mask_b if masked else None)
+            return carry, sims
+        _, sims = jax.lax.scan(body, None, (seg_blocks, mask_blocks))
+        # sims: [num_blocks, V, block] -> [V, num_blocks * block]
+        return jnp.moveaxis(sims, 0, 1).reshape(video_embs.shape[0], -1)
+
+    return scan_blocks
+
+
 def xpool_similarity_blocked(
     apply_fn: Callable,
     params,
@@ -65,17 +86,7 @@ def xpool_similarity_blocked(
     else:
         mask_blocks = jnp.ones((num_blocks, block_size, s), seg_tokens.dtype)
 
-    @jax.jit
-    def scan_blocks(params, video_embs, seg_blocks, mask_blocks):
-        def body(carry, blk):
-            seg_b, mask_b = blk
-            sims = _block_sim(apply_fn, params, video_embs, seg_b,
-                              mask_b if seg_mask is not None else None)
-            return carry, sims
-        _, sims = jax.lax.scan(body, None, (seg_blocks, mask_blocks))
-        # sims: [num_blocks, V, block] -> [V, num_blocks * block]
-        return jnp.moveaxis(sims, 0, 1).reshape(video_embs.shape[0], -1)
-
+    scan_blocks = _scan_blocks_program(apply_fn, seg_mask is not None)
     full = scan_blocks(params, video_embs, seg_blocks, mask_blocks)
     return full[:, :m]
 

@@ -33,6 +33,35 @@ from mgsv_tpu.train.step import create_state, make_eval_step, make_train_step
 logger = logging.getLogger("mgsv_tpu")
 
 
+def _retype_like(live, restored):
+    """Rebuild `restored` (an orbax-restored pure dict/list pytree) with the
+    container types of `live` (the in-memory optax state).
+
+    An untyped `tree_unflatten(tree_structure(live), tree_leaves(restored))`
+    is WRONG in general: dicts flatten in sorted-key order while namedtuples
+    (optax states) flatten in field order, so the leaf sequences differ —
+    e.g. optax.MultiStepsState(mini_step, gradient_step, inner_opt_state,
+    acc_grads, skip_state) restores as a dict whose sorted-key leaf order
+    starts at acc_grads, silently reassigning every slot.  Walking the two
+    trees in parallel and matching namedtuple fields BY NAME is order-proof.
+    """
+    if hasattr(live, "_fields"):                       # namedtuple node
+        vals = []
+        for i, f in enumerate(type(live)._fields):
+            sub = (restored[f] if isinstance(restored, dict)
+                   else restored[i])                   # positional fallback
+            vals.append(_retype_like(getattr(live, f), sub))
+        return type(live)(*vals)
+    if isinstance(live, dict):
+        return {k: _retype_like(v, restored[k]) for k, v in live.items()}
+    if isinstance(live, (list, tuple)):
+        return type(live)(
+            _retype_like(v, restored[i]) for i, v in enumerate(live))
+    if live is None:
+        return None
+    return restored                                    # leaf
+
+
 @dataclasses.dataclass
 class EpochStats:
     loss: float
@@ -269,10 +298,8 @@ class Trainer:
             "step": int(restored["step"]),
         }
         if "opt_state" in restored:
-            import jax.tree_util as jtu
-            opt_state = jtu.tree_unflatten(
-                jtu.tree_structure(self.state.opt_state),
-                jtu.tree_leaves(restored["opt_state"]))
+            opt_state = _retype_like(self.state.opt_state,
+                                     restored["opt_state"])
             replace["opt_state"] = mesh_lib.replicate(self.mesh, opt_state)
         else:
             logger.warning(
@@ -289,8 +316,26 @@ class Trainer:
         epochs = epochs or cfg.train.epochs
         history = []
         start_epoch = 1
-        if cfg.train.resume and self.ckpt and self.ckpt.exists(cfg.train.resume):
+        hist_path = os.path.join(self.run_dir, "history.json")
+        if cfg.train.resume and self.ckpt:
+            if not self.ckpt.exists(cfg.train.resume):
+                # failing loudly beats silently retraining from scratch
+                raise FileNotFoundError(
+                    f"train.resume={cfg.train.resume!r} requested but no such "
+                    f"checkpoint exists under {self.run_dir} — unset resume "
+                    "to train from scratch")
             start_epoch = self.restore(cfg.train.resume)
+            # continue the run's history instead of overwriting it
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    history = [r for r in json.load(f)
+                               if r["epoch"] < start_epoch]
+        if start_epoch > epochs:
+            # nothing to train (resume of a finished run) — leave the
+            # history file and the "last" checkpoint exactly as they are
+            logger.info("resume epoch %d is beyond epochs=%d; nothing to do",
+                        start_epoch, epochs)
+            return {"history": history, "best": self.tracker.best}
         for epoch in range(start_epoch, epochs + 1):
             stats = self.train_epoch(epoch)
             record: Dict[str, Any] = {"epoch": epoch,

@@ -126,7 +126,57 @@ def test_resume_from_last(tiny_cfg, tiny_data, tmp_path):
     # resumed at epoch 3: exactly one more epoch of steps
     assert int(t2.state.step) == steps_done + tiny_data.num_batches(
         base.batch_size_train)
-    assert [h["epoch"] for h in out["history"]] == [3]
+    # the run's history is CONTINUED (epochs 1-2 from the first fit are
+    # reloaded from history.json), not overwritten
+    assert [h["epoch"] for h in out["history"]] == [1, 2, 3]
+
+    # resuming a FINISHED run is a no-op: nothing trains, history.json and
+    # the "last" checkpoint (epoch stamp) are left untouched
+    t3 = Trainer(cfg2, train_data=tiny_data, val_data=None)
+    out3 = t3.fit()
+    assert [h["epoch"] for h in out3["history"]] == [1, 2, 3]
+    assert t3.restore("last") == 4          # still stamped epoch 3
+
+    # a requested-but-missing resume tag is an error, not a silent
+    # from-scratch restart
+    cfg_missing = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(
+            base, resume="last", output_dir=str(tmp_path) + "_fresh"))
+    t4 = Trainer(cfg_missing, train_data=tiny_data, val_data=None)
+    with pytest.raises(FileNotFoundError):
+        t4.fit()
+
+
+def test_resume_restores_typed_opt_state_with_grad_accum(
+        tiny_cfg, tiny_data, tmp_path):
+    """Gradient accumulation wraps the optimizer in optax.MultiSteps, whose
+    namedtuple state flattens in FIELD order while the orbax-restored dict
+    flattens in sorted-KEY order — an untyped unflatten silently reassigns
+    every slot (mini_step gets an acc_grads array...).  The typed restore
+    must reproduce the saved state leaf-for-leaf."""
+    import jax
+
+    from mgsv_tpu.train.loop import Trainer
+
+    base = dataclasses.replace(
+        tiny_cfg.train, output_dir=str(tmp_path), epochs=1,
+        gradient_accumulation_steps=2)
+    cfg = dataclasses.replace(tiny_cfg, train=base)
+    t1 = Trainer(cfg, train_data=tiny_data, val_data=None)
+    t1.fit()
+    ref = jax.device_get(t1.state.opt_state)
+
+    cfg2 = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(base, resume="last"))
+    t2 = Trainer(cfg2, train_data=tiny_data, val_data=None)
+    t2.restore("last")
+    got = jax.device_get(t2.state.opt_state)
+    assert (jax.tree_util.tree_structure(got)
+            == jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_eval_padding_excluded(tiny_cfg, tiny_data):
