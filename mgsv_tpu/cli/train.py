@@ -57,9 +57,12 @@ def parse_overrides(argv):
     for key in it:
         if not key.startswith("--"):
             raise SystemExit(f"expected --section.key, got {key}")
-        raw = next(it, None)
-        if raw is None:
-            raise SystemExit(f"missing value for {key}")
+        if "=" in key:                       # --section.key=value form
+            key, raw = key.split("=", 1)
+        else:
+            raw = next(it, None)
+            if raw is None:
+                raise SystemExit(f"missing value for {key}")
         try:
             value = json.loads(raw)
         except json.JSONDecodeError:

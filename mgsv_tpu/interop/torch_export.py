@@ -115,17 +115,29 @@ def export_uni_state_dict(
     m = cfg.model
     out: Dict[str, Array] = dict(base_state) if base_state else {}
 
+    if m.agg_module not in ("transf", "None") or m.with_cls_token:
+        # mlp (EmbeddingNet + BN buffers) and cls_token have no mapping
+        # yet; silently emitting a state dict without them would load
+        # "cleanly" under strict=False and evaluate garbage
+        raise NotImplementedError(
+            f"torch export not implemented for agg_module={m.agg_module!r} "
+            f"/ with_cls_token={m.with_cls_token}")
     _linear(out, "vit_proj", p["video_tower"]["proj"])
     _linear(out, "ast_proj", p["audio_tower"]["proj"])
-    if m.agg_module == "transf" and m.temporal_depth > 0:
+    v_depth = m.video_temporal_depth or m.temporal_depth
+    a_depth = m.audio_temporal_depth or m.temporal_depth
+    if m.agg_module == "transf":
         if m.transformer_is_share:
-            _temporal(out, "share_transformer", p["shared_temporal"],
-                      m.temporal_depth)
+            if m.temporal_depth > 0:
+                _temporal(out, "share_transformer", p["shared_temporal"],
+                          m.temporal_depth)
         else:
-            _temporal(out, "video_transformer",
-                      p["video_tower"]["temporal"], m.temporal_depth)
-            _temporal(out, "audio_transformer",
-                      p["audio_tower"]["temporal"], m.temporal_depth)
+            if v_depth > 0:
+                _temporal(out, "video_transformer",
+                          p["video_tower"]["temporal"], v_depth)
+            if a_depth > 0:
+                _temporal(out, "audio_transformer",
+                          p["audio_tower"]["temporal"], a_depth)
 
     out["logit_scale"] = _np(p["logit_scale"]).reshape(())
 

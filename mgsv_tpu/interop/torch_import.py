@@ -117,17 +117,27 @@ def import_uni_state_dict(state: State, cfg: Config) -> Dict:
     m = cfg.model
     params: Dict[str, Dict] = {}
 
+    if m.agg_module not in ("transf", "None") or m.with_cls_token:
+        raise NotImplementedError(
+            f"torch import not implemented for agg_module={m.agg_module!r} "
+            f"/ with_cls_token={m.with_cls_token} — a params tree missing "
+            "those entries would fail (or silently drift) downstream")
     params["video_tower"] = {"proj": _linear(state, "vit_proj")}
     params["audio_tower"] = {"proj": _linear(state, "ast_proj")}
-    if m.agg_module == "transf" and m.temporal_depth > 0:
+    v_depth = m.video_temporal_depth or m.temporal_depth
+    a_depth = m.audio_temporal_depth or m.temporal_depth
+    if m.agg_module == "transf":
         if m.transformer_is_share:
-            params["shared_temporal"] = _temporal(
-                state, "share_transformer", m.temporal_depth)
+            if m.temporal_depth > 0:
+                params["shared_temporal"] = _temporal(
+                    state, "share_transformer", m.temporal_depth)
         else:
-            params["video_tower"]["temporal"] = _temporal(
-                state, "video_transformer", m.temporal_depth)
-            params["audio_tower"]["temporal"] = _temporal(
-                state, "audio_transformer", m.temporal_depth)
+            if v_depth > 0:
+                params["video_tower"]["temporal"] = _temporal(
+                    state, "video_transformer", v_depth)
+            if a_depth > 0:
+                params["audio_tower"]["temporal"] = _temporal(
+                    state, "audio_transformer", a_depth)
 
     params["logit_scale"] = state["logit_scale"].reshape(())
 

@@ -176,12 +176,29 @@ def import_ast_state_dict(state: Mapping[str, np.ndarray], depth: int = 12,
     # torch conv [O, I, kh, kw] -> flax [kh, kw, I, O]
     conv_kernel = np.ascontiguousarray(conv_w.transpose(2, 3, 1, 0))
 
+    # The ImageNet-DeiT path (sum_rgb_patch=True) carries a square
+    # [1, hw*hw + 2, D] pos table; the audio grid needs
+    # [1, f_dim*t_dim + 2, D] — apply the reference's conversion-time
+    # surgery (ast_models.py:89-106).  AST-shaped checkpoints (audioset,
+    # or the reduced grids the parity tests build) arrive already sized
+    # for their grid and pass through untouched.
+    pos = np.asarray(state["v.pos_embed"])
+    if sum_rgb_patch:
+        f_dim, t_dim = patch_grid(10, 10)
+        if pos.shape[1] != f_dim * t_dim + 2:
+            hw = int(round(math.sqrt(pos.shape[1] - 2)))
+            if hw * hw != pos.shape[1] - 2:
+                raise ValueError(
+                    f"pos_embed length {pos.shape[1]} is neither the audio "
+                    f"grid ({f_dim * t_dim + 2}) nor a square ImageNet grid")
+            pos = surgery_pos_embed(pos, f_dim, t_dim, original_hw=hw)
+
     params: Dict = {
         "patch_proj": {"kernel": conv_kernel,
                        "bias": state["v.patch_embed.proj.bias"]},
         "cls_token": state["v.cls_token"],
         "dist_token": state["v.dist_token"],
-        "pos_embed": state["v.pos_embed"],
+        "pos_embed": pos,
         "norm": ln("v.norm"),
         "head_norm": ln("mlp_head.0"),
         "head": lin("mlp_head.1"),

@@ -64,8 +64,4 @@ def detr_forward_fused(
     return jnp.stack(intermediate, axis=0), memory
 
 
-def _ln(x, gamma, beta, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    import jax
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+from mgsv_tpu.ops.pallas.fused_encoder_layer import _layer_norm as _ln  # noqa: E402

@@ -22,24 +22,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
-_EPS = 1e-5
-
-
-def _ln_fwd(x, gamma, beta):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + _EPS)
-    xhat = (x - mean) * inv
-    return xhat * gamma + beta, xhat, inv
-
-
-def _ln_bwd(dy, xhat, inv, gamma):
-    dg = (dy * xhat).sum(axis=0)
-    db = dy.sum(axis=0)
-    dyg = dy * gamma
-    dx = (dyg - dyg.mean(axis=-1, keepdims=True)
-          - xhat * (dyg * xhat).mean(axis=-1, keepdims=True)) * inv
-    return dx, dg, db
+# one LN fwd/bwd implementation for every fused kernel — a numerics fix
+# applied there applies everywhere (eps 1e-5)
+from mgsv_tpu.ops.pallas.fused_encoder_layer_vjp import _ln_bwd, _ln_fwd  # noqa: E402,F401
 
 
 def _mha_fwd(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wo, bo, heads, mask):

@@ -286,7 +286,7 @@ def fused_encoder_layer(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=bp * L * (2 * d * 2 * d + 2 * d * d * 2 + 4 * L * d
-                            + 4 * d * 1024),
+                            + 4 * d * f),
             bytes_accessed=2 * x.size * 4,
             transcendentals=bp * heads * L * L,
         ),

@@ -32,10 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _layer_norm(x, gamma, beta, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+from mgsv_tpu.ops.pallas.fused_encoder_layer import _layer_norm  # noqa: E402
 
 
 def _xpool_sim_kernel(q_ref, k_ref, v_ref, mask_ref, vhat_ref,

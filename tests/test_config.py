@@ -46,6 +46,13 @@ def test_cli_parse_overrides_types():
     cfg = Config.from_overrides(ov)
     assert cfg.train.profile is True
 
+    # --key=value form (previously mis-consumed the NEXT token as value)
+    known, ov = parse_overrides([
+        "--train.epochs=3", "--data.stride", "2.5", "--train.name=run=a",
+    ])
+    assert ov == {"train.epochs": 3, "data.stride": 2.5,
+                  "train.name": "run=a"}
+
 
 def test_to_json_roundtrip_keys():
     cfg = Config()
