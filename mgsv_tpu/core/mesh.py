@@ -42,6 +42,22 @@ def make_mesh(shape: Tuple[int, int] = (-1, 1),
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def fold_axis_into_seed(seed, axis: str = DATA_AXIS):
+    """Decorrelate an in-kernel dropout seed across a mesh axis.
+
+    The fused Pallas kernels tag PRNG draws with LOCAL row/tile indices
+    (program_id-derived), so under shard_map with a replicated seed every
+    shard would draw bit-identical keep masks.  Call this INSIDE the
+    shard_map body, before the custom_vjp boundary, so forward and the
+    backward recompute both see the folded seed (int32 wrap-around is fine
+    for seeding).
+    """
+    import jax.numpy as jnp
+
+    return seed + (jax.lax.axis_index(axis).astype(jnp.int32)
+                   * jnp.int32(1000003))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over dp, rest replicated."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -146,6 +146,12 @@ class FusedDetrEncoderLayer(nn.Module):
     dropout: float = 0.0
     block_b: int = 1   # rows per program (bb=1 measured fastest at bs=512)
     precision: str = "f32"   # "bf16" = bf16 MXU tiles, f32 accumulate
+    # Multi-device: run the kernel per-device under shard_map (batch over
+    # dp, params/seed replicated) with axis_index folded into the dropout
+    # seed — the in-kernel PRNG row tags are LOCAL (program_id-derived), so
+    # under a replicated seed every dp shard would draw bit-identical keep
+    # masks.  Same fix as FusedXPoolSim (models/xpool.py).
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, src, mask, pos, deterministic: bool = True):
@@ -189,8 +195,32 @@ class FusedDetrEncoderLayer(nn.Module):
                 jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
+        x32 = src.astype(jnp.float32)
+        pos32 = pos.astype(jnp.float32)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from mgsv_tpu.core.mesh import DATA_AXIS, fold_axis_into_seed
+
+            dp = self.mesh.shape[DATA_AXIS]
+            assert src.shape[0] % dp == 0, (src.shape, dp)
+            heads, block_b, prec = self.heads, self.block_b, self.precision
+            rate_ = rate
+
+            def local_layer(params_, x_, mask_, pos_, seed_):
+                seed_ = fold_axis_into_seed(seed_)
+                return fused_encoder_layer_train(
+                    params_, x_, mask_, pos_, seed_, heads, block_b, None,
+                    rate_, prec)
+
+            return jax.shard_map(
+                local_layer, mesh=self.mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )(params, x32, mask, pos32, seed)
         return fused_encoder_layer_train(
-            params, src.astype(jnp.float32), mask, pos.astype(jnp.float32),
+            params, x32, mask, pos32,
             seed, self.heads, self.block_b, None, rate, self.precision)
 
 
@@ -270,6 +300,9 @@ class DetrTransformer(nn.Module):
     # Route encoder layers through the fused Pallas fwd+bwd kernels
     # (post-norm, dropout-free configs; ~4.8x per layer on v5e).
     fused_encoder: bool = False
+    # Multi-device mesh for the fused encoder's shard_map/dropout-seed
+    # handling (see FusedDetrEncoderLayer.mesh).
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -296,6 +329,7 @@ class DetrTransformer(nn.Module):
                     self.dim, self.heads, self.ffn_dim, dropout=self.dropout,
                     precision=("bf16" if self.dtype == jnp.bfloat16
                                else "f32"),
+                    mesh=self.mesh,
                     name=f"enc_{i}",
                 )(memory, mask, pos, deterministic)
             else:

@@ -245,7 +245,7 @@ class MaDe(nn.Module):
             dropout=m.detr_dropout, pre_norm=m.detr_pre_norm,
             decoder_self_attn=m.decoder_self_attn, dtype=cdtype,
             remat_layers=m.remat_detr, fused_encoder=m.fused_detr_encoder,
-            name="detr",
+            mesh=self.mesh, name="detr",
         )(fused, fused_mask, pos, query_embed, target, deterministic=deterministic)
         hidden = hidden.astype(jnp.float32)
         memory = memory.astype(jnp.float32)

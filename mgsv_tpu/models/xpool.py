@@ -202,7 +202,7 @@ class FusedXPoolSim(nn.Module):
         if self.mesh is not None and self.mesh.devices.size > 1:
             from jax.sharding import PartitionSpec as P
 
-            from mgsv_tpu.core.mesh import DATA_AXIS
+            from mgsv_tpu.core.mesh import DATA_AXIS, fold_axis_into_seed
 
             dp = self.mesh.shape[DATA_AXIS]
             assert video.shape[0] % dp == 0, (video.shape, dp)
@@ -211,13 +211,9 @@ class FusedXPoolSim(nn.Module):
 
             def local_core(q_, k_, v_, m_, vh_, *wargs):
                 *ws, seed_ = wargs
-                # Decorrelate dropout across the device axis: the in-kernel
-                # PRNG tags are LOCAL tile indices and the seed is
-                # replicated, so without this fold row v on device 0 and
-                # row v + V/dp on device 1 would draw bit-identical keep
-                # masks every step (int32 wrap-around is fine for seeding).
-                seed_ = seed_ + (jax.lax.axis_index(DATA_AXIS)
-                                 .astype(jnp.int32) * jnp.int32(1000003))
+                # Without the fold, row v on device 0 and row v + V/dp on
+                # device 1 would draw bit-identical keep masks every step.
+                seed_ = fold_axis_into_seed(seed_)
                 return _xpool_core(q_, k_, v_, m_, vh_, *ws, seed_, rate_,
                                    pick_bv(q_.shape[0]), block_m, None)
 

@@ -105,6 +105,12 @@ class NativeStore:
             out_dtype = self.dtype
         idx = np.ascontiguousarray(idx, np.int64)
         n = len(idx)
+        if n and (idx.min() < 0 or idx.max() >= self.rows):
+            # the native path is a raw memcpy — a bad index would segfault
+            # the process instead of raising like numpy fancy-indexing
+            raise IndexError(
+                f"gather indices out of range [0, {self.rows}): "
+                f"min={idx.min()} max={idx.max()}")
         threads = threads or min(4, os.cpu_count() or 1)
         if self._handle is not None:
             if self.dtype == np.float16 and np.dtype(out_dtype) == np.float32:

@@ -43,6 +43,82 @@ def test_param_tree_matches_and_forward_equal():
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=3e-5)
 
 
+def test_fused_encoder_shard_map_matches_single_device():
+    """With a multi-device mesh the fused encoder runs under shard_map
+    (batch over dp, params replicated); deterministic forward and gradients
+    must match the single-device path exactly."""
+    from mgsv_tpu.core.mesh import make_mesh
+
+    b, L, d, heads, q = 8, 12, 32, 4, 1
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(b, L, d).astype(np.float32) * 0.3)
+    pos = jnp.asarray(rng.randn(b, L, d).astype(np.float32) * 0.3)
+    mask = jnp.asarray(np.ones((b, L), np.float32))
+    query = jnp.asarray(rng.randn(q, d).astype(np.float32))
+
+    single = DetrTransformer(d, heads, d * 2, 2, 1, dropout=0.0,
+                             fused_encoder=True)
+    params = single.init(jax.random.PRNGKey(0), src, mask, pos, query,
+                         deterministic=True)
+    mesh = make_mesh((8, 1))
+    sharded = DetrTransformer(d, heads, d * 2, 2, 1, dropout=0.0,
+                              fused_encoder=True, mesh=mesh)
+
+    def loss(mod, p, s_, po_):
+        h, m = mod.apply(p, s_, mask, po_, query, deterministic=True)
+        return (h ** 2).sum() + (m ** 2).sum()
+
+    f1 = float(loss(single, params, src, pos))
+    f2 = float(jax.jit(lambda p, s_, po_: loss(sharded, p, s_, po_))(
+        params, src, pos))
+    np.testing.assert_allclose(f2, f1, rtol=1e-6)
+
+    g1 = jax.grad(lambda p, s_, po_: loss(single, p, s_, po_),
+                  argnums=(0, 1, 2))(params, src, pos)
+    g2 = jax.jit(jax.grad(lambda p, s_, po_: loss(sharded, p, s_, po_),
+                          argnums=(0, 1, 2)))(params, src, pos)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        # Per-leaf tolerance: the psum-tree reduction reorders f32 sums vs
+        # the single-device sequential accumulation, so near-cancelling
+        # leaves (bias grads) carry absolute noise scaled by the summand
+        # magnitude, not the leaf max.  A semantic error (e.g. a missing
+        # replicated-cotangent psum) is O(dp)=8x, far above this.
+        np.testing.assert_allclose(
+            b_, a, atol=5e-5 + 1e-6 * float(np.abs(a).max()), rtol=1e-4)
+
+
+def test_fused_encoder_dropout_decorrelated_across_dp():
+    """Dropout seeds fold in axis_index under shard_map: identical input
+    rows living on DIFFERENT dp shards must draw different keep masks (the
+    pre-fix replicated seed + local row tags made every shard's mask stream
+    bit-identical)."""
+    from mgsv_tpu.core.mesh import make_mesh
+    from mgsv_tpu.models.detr import FusedDetrEncoderLayer
+
+    b, L, d, heads = 16, 12, 32, 4   # dp=8 -> 2 rows per shard
+    rng = np.random.RandomState(3)
+    row = rng.randn(1, L, d).astype(np.float32) * 0.3
+    src = jnp.asarray(np.tile(row, (b, 1, 1)))
+    pos = jnp.asarray(np.tile(rng.randn(1, L, d).astype(np.float32) * 0.3,
+                              (b, 1, 1)))
+    mask = jnp.asarray(np.ones((b, L), np.float32))
+
+    mesh = make_mesh((8, 1))
+    layer = FusedDetrEncoderLayer(d, heads, d * 2, dropout=0.5, mesh=mesh)
+    params = layer.init(jax.random.PRNGKey(0), src, mask, pos,
+                        deterministic=True)
+    out = jax.jit(lambda p, s_: layer.apply(
+        p, s_, mask, pos, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(7)}))(params, src)
+    out = np.asarray(out)
+    # shard 0 row 0 vs shard 1 row 0 (= global rows 0 and 2): same input,
+    # same local row tag — outputs may only differ through the seed fold.
+    assert np.abs(out[0] - out[2]).max() > 1e-4, (
+        "dp shards drew identical dropout masks")
+    assert np.abs(out[0] - out[4]).max() > 1e-4
+
+
 def test_full_model_trains_with_fused_encoder():
     data = DataConfig(max_v_frames=6, stride=40.0, filter_sec=40.0,
                       vit_dim=32, ast_dim=48)
