@@ -136,6 +136,12 @@ class ModelConfig:
     num_moment_queries: int = 1
     moment_query_type: str = "video" # "video" | "music" | "xpool" | "zero"
     predict_center: bool = False
+    # Only "l1" exists end-to-end.  The reference's "ce" choice
+    # (train-MaDe.py:85) is dead upstream: span_embed always outputs 1-2
+    # sigmoid dims (model_Uni.py:52-53,135), so the matcher's ce branch
+    # (matcher.py:79-85) would crash on `view(bs*#Q, 2, snippet_num)` and
+    # on float-tensor indexing before ever computing a cost.  Rejected
+    # loudly in __post_init__ instead of being a silent no-op knob.
     span_loss_type: str = "l1"
 
     # Heads — model_Uni.py:50-62
@@ -154,6 +160,14 @@ class ModelConfig:
     # bfloat16 trains identically on synthetic A/B (loss curves within 1e-2)
     # and is ~11% faster end-to-end on v5e; float32 is the parity-test mode.
     compute_dtype: str = "bfloat16"  # "float32" | "bfloat16"
+
+    def __post_init__(self) -> None:
+        if self.span_loss_type != "l1":
+            raise ValueError(
+                f"span_loss_type={self.span_loss_type!r}: only 'l1' is "
+                "implemented — the reference's 'ce' branch is dead upstream "
+                "(span_embed never emits snippet logits; matcher.py:79-85 "
+                "would crash). See MIGRATION.md.")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -75,6 +75,31 @@ def _xpool(out: Dict[str, Array], prefix: str, p: Mapping) -> None:
         _linear(out, f"{prefix}.cross_attn.{name}", p["cross_attn"][name])
 
 
+def _cross_transformer(out: Dict[str, Array], prefix: str, p: Mapping,
+                       depth: int = 1) -> None:
+    """models/cross.py tree -> CrossTransformer names (model_Base.py:169-213).
+
+    Inverse of torch_import._cross_transformer — see its docstring for the
+    torch Sequential index layout (to_out.0, net.0 / net.3).
+    """
+    for i in range(depth):
+        _layernorm(out, f"{prefix}.attention_query_layer_norms.{i}",
+                   p[f"q_norm_{i}"])
+        _layernorm(out, f"{prefix}.attention_context_layer_norms.{i}",
+                   p[f"ctx_norm_{i}"])
+        _layernorm(out, f"{prefix}.ff_layer_norms.{i}", p[f"ff_norm_{i}"])
+        base = f"{prefix}.layers.{i}"
+        ca = p[f"cross_attn_{i}"]
+        out[f"{base}.0.to_q.weight"] = np.ascontiguousarray(
+            _np(ca["to_q"]["kernel"]).T)
+        out[f"{base}.0.to_kv.weight"] = np.ascontiguousarray(
+            _np(ca["to_kv"]["kernel"]).T)
+        _linear(out, f"{base}.0.to_out.0", ca["to_out"])
+        _linear(out, f"{base}.1.net.0", p[f"ff_{i}"]["fc1"])
+        _linear(out, f"{base}.1.net.3", p[f"ff_{i}"]["fc2"])
+    _linear(out, f"{prefix}.final_linear", p["final_linear"])
+
+
 def _detr(out: Dict[str, Array], prefix: str, p: Mapping,
           cfg: Config) -> None:
     m = cfg.model
@@ -148,6 +173,10 @@ def export_uni_state_dict(
         if "video" in m.vmr_fusion:
             _xpool(out, "music_guided_to_video_pooling_cross_transformer",
                    p["xpool_m2v"])
+
+    if m.mml_fusion == "CA":
+        _cross_transformer(out, "video_music_fusion_cross_transformer",
+                           p["ca_fusion"])
 
     _detr(out, "detr_transformer", p["detr"], cfg)
     out["decoder_query_embed.weight"] = _np(p["query_embed"])

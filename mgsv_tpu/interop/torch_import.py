@@ -81,6 +81,39 @@ def _xpool(state: State, prefix: str) -> Dict[str, Dict]:
     }
 
 
+def _cross_transformer(state: State, prefix: str, depth: int = 1) -> Dict[str, Dict]:
+    """CrossTransformer (model_Base.py:169-213) -> models/cross.py tree.
+
+    torch layout: layers.{i} = ModuleList[CrossAttention, FeedForward];
+    CrossAttention.to_out is Sequential(Linear, Dropout) -> index 0;
+    FeedForward.net is Sequential(Linear, GELU, Dropout, Linear, Dropout)
+    -> indices 0 and 3.  to_q / to_kv have no bias (model_Base.py:110-111);
+    to_kv's first output half is K, second is V (chunk(2, dim=-1)), which
+    matches jnp.split on the transposed kernel.
+    """
+    out: Dict[str, Dict] = {}
+    for i in range(depth):
+        out[f"q_norm_{i}"] = _layernorm(
+            state, f"{prefix}.attention_query_layer_norms.{i}")
+        out[f"ctx_norm_{i}"] = _layernorm(
+            state, f"{prefix}.attention_context_layer_norms.{i}")
+        out[f"ff_norm_{i}"] = _layernorm(state, f"{prefix}.ff_layer_norms.{i}")
+        base = f"{prefix}.layers.{i}"
+        out[f"cross_attn_{i}"] = {
+            "to_q": {"kernel": np.ascontiguousarray(
+                state[f"{base}.0.to_q.weight"].T)},
+            "to_kv": {"kernel": np.ascontiguousarray(
+                state[f"{base}.0.to_kv.weight"].T)},
+            "to_out": _linear(state, f"{base}.0.to_out.0"),
+        }
+        out[f"ff_{i}"] = {
+            "fc1": _linear(state, f"{base}.1.net.0"),
+            "fc2": _linear(state, f"{base}.1.net.3"),
+        }
+    out["final_linear"] = _linear(state, f"{prefix}.final_linear")
+    return out
+
+
 def _detr(state: State, prefix: str, cfg: Config) -> Dict[str, Dict]:
     m = cfg.model
     out: Dict[str, Dict] = {}
@@ -148,6 +181,10 @@ def import_uni_state_dict(state: State, cfg: Config) -> Dict:
         if "video" in m.vmr_fusion:
             params["xpool_m2v"] = _xpool(
                 state, "music_guided_to_video_pooling_cross_transformer")
+
+    if m.mml_fusion == "CA":
+        params["ca_fusion"] = _cross_transformer(
+            state, "video_music_fusion_cross_transformer")
 
     params["detr"] = _detr(state, "detr_transformer", cfg)
     params["query_embed"] = state["decoder_query_embed.weight"]

@@ -59,3 +59,15 @@ def test_to_json_roundtrip_keys():
     blob = json.loads(cfg.to_json())
     assert set(blob) == {"data", "model", "loss", "train"}
     assert blob["model"]["compute_dtype"] in ("float32", "bfloat16")
+
+
+def test_span_loss_type_ce_rejected_loudly():
+    # The reference's "ce" argparse choice (train-MaDe.py:85) is dead
+    # upstream (span_embed never emits snippet logits; matcher.py:79-85
+    # crashes on reshape / float indexing).  A silent no-op knob here
+    # would let users believe they trained a ce model — reject at
+    # construction instead.
+    import dataclasses
+    cfg = Config()
+    with pytest.raises(ValueError, match="span_loss_type"):
+        dataclasses.replace(cfg.model, span_loss_type="ce")

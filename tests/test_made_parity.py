@@ -14,6 +14,7 @@ import types
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 # ---- stub the frozen-encoder deps before importing the reference model ----
@@ -72,9 +73,21 @@ def _ref_args():
     )
 
 
-def test_full_model_parity():
+def _run_parity(ref_overrides=None, model_overrides=None, loss_overrides=None):
+    """Instantiate the torch reference + MaDe with imported weights and
+    assert end-to-end equality (embeddings, DETR heads, both task losses).
+
+    Overrides parametrize the reference's config variants (X-Pool sides,
+    vmr_loss branches, CA fusion, query types, heads) so every importable
+    branch is pinned against the live torch oracle, not just the paper
+    config.
+    """
+    import dataclasses
+
     torch.manual_seed(0)
     args = _ref_args()
+    for k, v in (ref_overrides or {}).items():
+        setattr(args, k, v)
     ref = Uni_model(args, device=torch.device("cpu"), logger=None)
     # Attach the feature projections the reference only creates together with
     # the frozen encoders (model_Base.py:282,289).
@@ -95,28 +108,36 @@ def test_full_model_parity():
     spans = np.stack([
         rng.uniform(0.3, 0.7, bs), rng.uniform(0.1, 0.3, bs)
     ], -1).astype(np.float32)[:, None, :]  # [B, 1, 2] normalized cw
+    # Video-segment durations in seconds — consumed only when
+    # predict_center=1 (width = v_duration / max_m_duration,
+    # model_Uni.py:283-285).
+    v_duration = rng.uniform(5.0, 45.0, bs).astype(np.float32)
 
     with torch.no_grad():
         output_map, loss_map, feat_map, mask_map, _ = ref(
             torch.tensor(frame_feats), torch.tensor(seg_feats),
             torch.tensor(frame_mask), torch.tensor(seg_mask),
-            torch.tensor(spans), v_duration=None,
+            torch.tensor(spans), v_duration=torch.tensor(v_duration),
             video_ids=None, music_ids=None, is_train=False,
         )
 
     # Export weights -> our params.
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    import dataclasses
     cfg = Config()
     cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+        cfg,
+        model=dataclasses.replace(cfg.model, compute_dtype="float32",
+                                  **(model_overrides or {})),
+        loss=dataclasses.replace(cfg.loss, **(loss_overrides or {})),
+    )
     params = import_uni_state_dict(state, cfg)
 
     model = MaDe(cfg)
     init_params = model.init(
         jax.random.PRNGKey(0),
         jnp.asarray(frame_feats), jnp.asarray(frame_mask),
-        jnp.asarray(seg_feats), jnp.asarray(seg_mask), deterministic=True)
+        jnp.asarray(seg_feats), jnp.asarray(seg_mask),
+        v_duration=jnp.asarray(v_duration), deterministic=True)
     # Structural check: imported tree must match the model's own init tree.
     ref_paths = {jax.tree_util.keystr(k) for k, _ in
                  jax.tree_util.tree_flatten_with_path(init_params)[0]}
@@ -129,7 +150,8 @@ def test_full_model_parity():
     out = model.apply(
         params,
         jnp.asarray(frame_feats), jnp.asarray(frame_mask),
-        jnp.asarray(seg_feats), jnp.asarray(seg_mask), deterministic=True)
+        jnp.asarray(seg_feats), jnp.asarray(seg_mask),
+        v_duration=jnp.asarray(v_duration), deterministic=True)
 
     atol = 2e-4
     np.testing.assert_allclose(
@@ -151,6 +173,10 @@ def test_full_model_parity():
         atol=atol)
     np.testing.assert_allclose(
         np.asarray(out["proj_vid_mem"]), output_map["proj_vid_mem"].numpy(), atol=atol)
+    if args.moment_loss:
+        np.testing.assert_allclose(
+            np.asarray(out["moment_feats"]), output_map["moment_feats"].numpy(),
+            atol=atol)
 
     _, log = total_loss(out, jnp.asarray(spans), cfg)
     np.testing.assert_allclose(
@@ -158,3 +184,53 @@ def test_full_model_parity():
     np.testing.assert_allclose(
         float(log["localization_loss"]), float(loss_map["localization_loss"]),
         rtol=2e-4)
+
+
+def test_full_model_parity():
+    _run_parity()
+
+
+# (name, reference arg overrides, ModelConfig overrides, LossConfig overrides)
+# NOTE: "dual_single" and "dual_single_oneloss" are argparse choices
+# (train-MaDe.py:76) with NO matching branch in Uni_model.forward
+# (model_Uni.py:236-276 falls through to ValueError; the `"oneloss" in
+# vmr_loss` check at :243 is unreachable inside the == "single" branch),
+# so they cannot be parity-tested — the reference crashes on them.
+_VARIANTS = [
+    ("ca_fusion",
+     dict(mml_fusion="CA"), dict(mml_fusion="CA"), {}),
+    ("xa_video_single",
+     dict(vmr_fusion="XA-video", vmr_loss="single"),
+     dict(vmr_fusion="XA-video"), dict(vmr_loss="single")),
+    ("xa_both_single",
+     dict(vmr_fusion="XA-music-video", vmr_loss="single"),
+     dict(vmr_fusion="XA-music-video"), dict(vmr_loss="single")),
+    ("vmr_dual",
+     dict(vmr_loss="dual"), {}, dict(vmr_loss="dual")),
+    ("vmr_sim_fuse",
+     dict(vmr_loss="dual_single_sim_fuse"), {},
+     dict(vmr_loss="dual_single_sim_fuse")),
+    ("vmr_feature_fuse",
+     dict(vmr_loss="dual_single_feature_fuse"), {},
+     dict(vmr_loss="dual_single_feature_fuse")),
+    ("audio_short_cut",
+     dict(audio_short_cut=1), dict(audio_short_cut=True), {}),
+    ("moment_query_music",
+     dict(moment_query_type="music"), dict(moment_query_type="music"), {}),
+    ("moment_query_xpool",
+     dict(moment_query_type="xpool"), dict(moment_query_type="xpool"), {}),
+    ("predict_center",
+     dict(predict_center=1), dict(predict_center=True), {}),
+    ("moment_head",
+     dict(moment_loss=1), dict(moment_loss=True), {}),
+    ("detr_pre_norm",
+     dict(detr_pre_norm=True), dict(detr_pre_norm=True), {}),
+]
+
+
+@pytest.mark.parametrize(
+    "ref_over,model_over,loss_over",
+    [v[1:] for v in _VARIANTS], ids=[v[0] for v in _VARIANTS])
+def test_variant_parity(ref_over, model_over, loss_over):
+    """Every importable config branch vs the live torch oracle."""
+    _run_parity(ref_over, model_over, loss_over)

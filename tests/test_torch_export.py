@@ -75,8 +75,17 @@ def _assert_trees_equal(a, b):
             np.asarray(va), np.asarray(vb), err_msg=jax.tree_util.keystr(k))
 
 
-def test_roundtrip_flax_torch_flax():
+@pytest.mark.parametrize("model_over", [
+    {},
+    # CA fusion adds the CrossTransformer block (model_Base.py:169-213)
+    {"mml_fusion": "CA"},
+    # both X-Pool sides + moment head
+    {"vmr_fusion": "XA-music-video", "moment_loss": True},
+], ids=["paper", "ca_fusion", "xa_both_moment"])
+def test_roundtrip_flax_torch_flax(model_over):
     cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, **model_over))
     params = _init_params(cfg)
     state = export_uni_state_dict(params, cfg)
     back = import_uni_state_dict(state, cfg)
