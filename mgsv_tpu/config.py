@@ -168,6 +168,17 @@ class ModelConfig:
                 "implemented — the reference's 'ce' branch is dead upstream "
                 "(span_embed never emits snippet logits; matcher.py:79-85 "
                 "would crash). See MIGRATION.md.")
+        if self.ca_heads == 1 and self.ca_dim_head == self.dim_input:
+            # project_out=False in CrossAttention (models/cross.py:43, mirror
+            # of model_Base.py:107-118): to_out doesn't exist in that shape,
+            # so the torch import/export key maps (interop/torch_import.py
+            # _cross_transformer) would KeyError. Reject the config up front
+            # rather than failing deep inside interop.
+            raise ValueError(
+                "ca_heads=1 with ca_dim_head == dim_input selects the "
+                "project_out=False CrossAttention shape (no to_out layer), "
+                "which the torch interop maps do not support; use >1 heads "
+                "or a different ca_dim_head.")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,5 +1,6 @@
 """Config system: overrides, derived values, serialization."""
 
+import dataclasses
 import json
 
 import pytest
@@ -67,7 +68,18 @@ def test_span_loss_type_ce_rejected_loudly():
     # crashes on reshape / float indexing).  A silent no-op knob here
     # would let users believe they trained a ce model — reject at
     # construction instead.
-    import dataclasses
     cfg = Config()
     with pytest.raises(ValueError, match="span_loss_type"):
         dataclasses.replace(cfg.model, span_loss_type="ce")
+
+
+def test_rejects_project_out_false_ca_shape():
+    # ca_heads=1 with ca_dim_head == dim_input makes CrossAttention's to_out
+    # an Identity (project_out=False, models/cross.py:43 mirroring
+    # model_Base.py:107-118); the torch interop key maps assume to_out
+    # exists, so the config is rejected at construction (ADVICE r3).
+    cfg = Config()
+    with pytest.raises(ValueError, match="project_out"):
+        dataclasses.replace(cfg.model, ca_heads=1, ca_dim_head=256)
+    # 1 head with a different head dim is still a legal shape
+    dataclasses.replace(cfg.model, ca_heads=1, ca_dim_head=64)

@@ -8,6 +8,7 @@ models are compared end to end on the precomputed-feature path — embeddings,
 DETR head outputs, and both task losses.
 """
 
+import dataclasses
 import sys
 import types
 
@@ -82,8 +83,6 @@ def _run_parity(ref_overrides=None, model_overrides=None, loss_overrides=None):
     branch is pinned against the live torch oracle, not just the paper
     config.
     """
-    import dataclasses
-
     torch.manual_seed(0)
     args = _ref_args()
     for k, v in (ref_overrides or {}).items():
