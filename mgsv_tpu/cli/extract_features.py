@@ -31,28 +31,58 @@ logger = logging.getLogger("mgsv_tpu.extract")
 
 
 def _load_clip_params(path: str):
+    """Returns (tower, params) with the tower geometry INFERRED from the
+    checkpoint (width/patch from conv1, depth from resblock count, out_dim
+    from proj, image grid from the positional embedding, heads via CLIP's
+    64-dim-head convention — ViT-B/32 resolves to the canonical 768/12/12).
+    """
+    import math
+
     import torch
-    from mgsv_tpu.models.clip_vit import import_clip_visual_state_dict
+
+    from mgsv_tpu.models.clip_vit import (ClipVisionTower,
+                                          import_clip_visual_state_dict)
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.state_dict() if hasattr(blob, "state_dict") else blob
     np_state = {k: v.float().numpy() for k, v in state.items()
                 if hasattr(v, "numpy")}
-    return import_clip_visual_state_dict(np_state)
+    s = {k[len("visual."):]: v for k, v in np_state.items()
+         if k.startswith("visual.")} or np_state
+    depth = 1 + max(int(k.split(".")[2]) for k in s
+                    if k.startswith("transformer.resblocks."))
+    width, _, patch, _ = s["conv1.weight"].shape
+    grid = int(math.isqrt(s["positional_embedding"].shape[0] - 1))
+    tower = ClipVisionTower(
+        width=width, depth=depth, heads=max(1, width // 64), patch=patch,
+        out_dim=s["proj"].shape[1], image_size=grid * patch)
+    return tower, import_clip_visual_state_dict(np_state, depth=depth)
 
 
-def _load_ast_params(path: str):
+def _load_ast_params(path: str, dcfg):
+    """Returns (encoder, params); embed dim / depth / label dim inferred
+    from the checkpoint (heads via timm's 64-dim-head rule — the audioset
+    AST resolves to 768/12/12), input geometry from the data config."""
     import torch
-    from mgsv_tpu.models.ast import import_ast_state_dict
+
+    from mgsv_tpu.models.ast import ASTEncoder, import_ast_state_dict
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
     np_state = {k: v.float().numpy() for k, v in state.items()}
-    return import_ast_state_dict(np_state)
+    stripped = {k.split("module.", 1)[-1]: v for k, v in np_state.items()}
+    depth = 1 + max(int(k.split(".")[2]) for k in stripped
+                    if k.startswith("v.blocks."))
+    embed_dim = stripped["v.patch_embed.proj.weight"].shape[0]
+    label_dim = (stripped["mlp_head.1.weight"].shape[0]
+                 if "mlp_head.1.weight" in stripped else 527)
+    enc = ASTEncoder(embed_dim=embed_dim, depth=depth,
+                     heads=max(1, embed_dim // 64), label_dim=label_dim,
+                     input_fdim=dcfg.mel_bins, input_tdim=dcfg.target_length)
+    return enc, import_ast_state_dict(np_state, depth=depth)
 
 
-def extract(args) -> None:
-    from mgsv_tpu.config import DataConfig
+def extract(args, dcfg) -> None:
     from mgsv_tpu.data.audio import extract_snippets, resample_sinc
     from mgsv_tpu.data.csv_index import load_csv_index
     from mgsv_tpu.data.feature_store import PackedFeatureStore
@@ -60,10 +90,11 @@ def extract(args) -> None:
     from mgsv_tpu.data.media import load_audio
     from mgsv_tpu.models.frozen import FrozenEncoders
 
-    dcfg = DataConfig()
     index = load_csv_index(args.csv, dcfg.max_m_duration)
-    enc = FrozenEncoders(_load_clip_params(args.clip_ckpt),
-                         _load_ast_params(args.ast_ckpt))
+    clip_tower, clip_params = _load_clip_params(args.clip_ckpt)
+    ast_enc, ast_params = _load_ast_params(args.ast_ckpt, dcfg)
+    enc = FrozenEncoders(clip_params, ast_params, clip_tower=clip_tower,
+                         ast_encoder=ast_enc)
 
     # ---- video frames (per-row CSV windows — get_clip_frame extracts
     # exactly [video_start, video_end], rawdata.py:41-92)
@@ -112,13 +143,11 @@ def extract(args) -> None:
         {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
 
 
-def convert(args) -> None:
+def convert(args, dcfg) -> None:
     """Reference .pt feature dirs -> packed stores (no model forward)."""
-    from mgsv_tpu.config import DataConfig
     from mgsv_tpu.data.csv_index import load_csv_index
     from mgsv_tpu.data.feature_store import convert_reference_features
 
-    dcfg = DataConfig()
     index = load_csv_index(args.csv, dcfg.max_m_duration)
     src = args.convert_from
     convert_reference_features(
@@ -146,15 +175,26 @@ def main(argv=None):
     p.add_argument("--convert-from", default=None,
                    help="reference feature root (e.g. features/Kuai_feature)")
     p.add_argument("--batch", type=int, default=64)
-    args = p.parse_args(argv)
+    args, rest = p.parse_known_args(argv)
+    # shared flags: --platform/--cpu-devices (forced in-process before the
+    # backend exists) + --data.key [=]value geometry overrides, same parser
+    # as the train/evaluate/index CLIs
+    from mgsv_tpu.cli.train import parse_overrides
+    from mgsv_tpu.config import Config
+    _, overrides = parse_overrides(rest)
+    bad = [k for k in overrides if not k.startswith("data.")]
+    if bad:
+        raise SystemExit(f"extract_features only takes --data.* overrides, "
+                         f"got {bad}")
+    dcfg = Config.from_overrides(overrides).data
     if args.convert_from:
-        convert(args)
+        convert(args, dcfg)
     else:
         if not all([args.frames_root, args.audio_root, args.clip_ckpt, args.ast_ckpt]):
             raise SystemExit(
                 "need --frames-root --audio-root --clip-ckpt --ast-ckpt "
                 "(or --convert-from)")
-        extract(args)
+        extract(args, dcfg)
 
 
 if __name__ == "__main__":

@@ -80,14 +80,27 @@ def main(argv=None):
     known, overrides = parse_overrides(argv if argv is not None else sys.argv[1:])
     cfg = Config.from_overrides(overrides)
 
+    from mgsv_tpu.core import dist
+    multiproc = dist.process_count() > 1
+    if multiproc and not dist.is_primary():
+        # one log stream per run (the reference's local_rank == 0 gating on
+        # all output, SURVEY.md §5) — non-primary processes stay quiet
+        # unless something is actually wrong
+        logging.getLogger("mgsv_tpu").setLevel(logging.WARNING)
+
     from mgsv_tpu.data.dataset import MgsvDataset
     from mgsv_tpu.train.loop import Trainer
 
     if known.synthetic:
         from mgsv_tpu.data import synthetic
         root = os.path.join(cfg.train.output_dir, "synthetic_data")
-        synthetic.generate(root, n_rows=known.synthetic, data_cfg=cfg.data,
-                           family_size=known.synthetic_family_size)
+        if dist.is_primary():
+            synthetic.generate(root, n_rows=known.synthetic,
+                               data_cfg=cfg.data,
+                               family_size=known.synthetic_family_size)
+        if multiproc:
+            # single writer: everyone else opens after the barrier
+            dist.barrier("synthetic-data")
         train_data = val_data = synthetic.open_synthetic(root, cfg.data)
     else:
         feature_root = cfg.data.feature_root
@@ -104,7 +117,24 @@ def main(argv=None):
 
     trainer = Trainer(cfg, train_data=train_data, val_data=val_data)
     result = trainer.fit()
-    print(json.dumps({"best": result["best"]}, indent=2, default=float))
+    if multiproc:
+        # one machine-parsable line per process: the multi-process test
+        # asserts per-epoch losses and final metrics are identical across
+        # ranks (gradient sync through the global mesh is real, unlike the
+        # reference's discarded DDP wrapper — SURVEY.md quirk #1)
+        import jax
+        digest = {
+            "process": jax.process_index(),
+            "losses": [r["train"]["loss"] for r in result["history"]],
+            "eval_R1": [r["eval"]["R1"] for r in result["history"]
+                        if "eval" in r],
+            "eval_mIoU": [r["eval"]["mIoU"] for r in result["history"]
+                          if "eval" in r],
+            "best": result["best"],
+        }
+        print("MP_RESULT " + json.dumps(digest, default=float), flush=True)
+    if dist.is_primary():
+        print(json.dumps({"best": result["best"]}, indent=2, default=float))
 
 
 if __name__ == "__main__":

@@ -25,7 +25,17 @@ class CheckpointManager:
         return os.path.join(self.run_dir, f"ckpt_{tag}")
 
     def save(self, tag: str, state: Dict[str, Any]) -> str:
-        """state: pytree of arrays (e.g. {"params", "opt_state", "step"})."""
+        """state: pytree of HOST arrays (e.g. {"params", "opt_state", "step"}).
+
+        Multi-process: COLLECTIVE — every process must call save with the
+        same tag sequence (save decisions derive from replicated losses and
+        allgathered metrics, so they agree by construction).  Orbax writes
+        host/replicated arrays from the primary only — exactly one
+        checkpoint tree per run, the reference's rank-0 gating
+        (train-MaDe.py:707-727) — and runs its own cross-process barriers;
+        a primary-only gate here would deadlock rank 0 inside that barrier
+        (observed: orbax save hang under the 2-process CLI launch).
+        """
         path = self._path(tag)
         self._ckptr.save(path, state, force=True)
         return path

@@ -63,6 +63,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def process_local_rows(sharding: NamedSharding, n_rows: int) -> np.ndarray:
+    """Global row indices (ascending) of a [n_rows, ...] batch that THIS
+    process's devices own under `sharding`.
+
+    The per-process feeding contract of make_array_from_process_local_data:
+    local data must hold the process's global slices in ascending order.
+    Derived from the sharding's own index map rather than assuming
+    process-contiguous device order, so a permuted (e.g. topology-reordered)
+    mesh cannot silently misfeed rows.  Replicated slices (mp > 1) dedup.
+    """
+    dmap = sharding.addressable_devices_indices_map((n_rows,))
+    slices = sorted({(s[0].start or 0,
+                      n_rows if s[0].stop is None else s[0].stop)
+                     for s in dmap.values()})
+    return np.concatenate([np.arange(lo, hi) for lo, hi in slices])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

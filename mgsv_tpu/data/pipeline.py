@@ -15,8 +15,66 @@ import threading
 from typing import Iterator, Optional, Tuple
 
 import jax
+import numpy as np
 
-from mgsv_tpu.data.dataset import Batch, BatchMeta, MgsvDataset
+from mgsv_tpu.data.dataset import (Batch, BatchMeta, MgsvDataset,
+                                   epoch_index_batches)
+
+
+def make_batch_shipper(dataset: MgsvDataset, sharding=None):
+    """Returns ship(idx, valid) -> (device_batch, meta) for one global batch.
+
+    Single-process: host-gather the full batch and device_put (optionally
+    with a dp sharding).  Multi-process (jax.process_count() > 1): each
+    process host-gathers ONLY the rows its devices own and assembles the
+    global array with jax.make_array_from_process_local_data — the
+    per-process feeding role of the reference's DistributedSampler
+    (dataloaders/data_dataloaders.py:11; per-GPU batch = global/gpu_num,
+    :14).  The epoch index stream is seeded and identical on every process,
+    so the global batch is the same multiset of rows either way; meta stays
+    GLOBAL (eval aggregations see every row's ids on every process).
+    """
+    multiproc = jax.process_count() > 1
+    if not multiproc:
+        def ship(idx, valid):
+            batch, meta = dataset.gather(idx)
+            meta.valid &= valid
+            if sharding is not None:
+                batch = {k: jax.device_put(v, sharding)
+                         for k, v in batch.items()}
+            else:
+                batch = {k: jax.device_put(v) for k, v in batch.items()}
+            return batch, meta
+        return ship
+
+    assert sharding is not None, (
+        "multi-process feeding needs the global batch sharding")
+    from mgsv_tpu.core.mesh import process_local_rows
+
+    def ship(idx, valid):
+        gbs = len(idx)
+        local = process_local_rows(sharding, gbs)
+        sub, _ = dataset.gather(idx[local])
+        # music_codes must encode track identity across the GLOBAL batch
+        # (the ignore_same_music InfoNCE negatives span all dp shards) —
+        # recompute from the global index stream and slice.
+        codes = np.unique(dataset.music_rows[idx],
+                          return_inverse=True)[1].astype(np.int32)
+        sub["music_codes"] = codes[local]
+        batch = {
+            k: jax.make_array_from_process_local_data(
+                sharding, v, (gbs,) + v.shape[1:])
+            for k, v in sub.items()
+        }
+        ix = dataset.index
+        meta = BatchMeta(
+            video_ids=[ix.video_ids[i] for i in idx],
+            music_ids=[ix.music_ids[i] for i in idx],
+            valid=valid,
+        )
+        return batch, meta
+
+    return ship
 
 
 def prefetch_epoch(
@@ -33,20 +91,16 @@ def prefetch_epoch(
     """Iterate (device_batch, meta) with `depth` batches in flight."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    ship = make_batch_shipper(dataset, sharding)
 
     def producer():
         try:
-            for batch, meta in dataset.epoch_batches(
-                    batch_size, shuffle=shuffle, seed=seed, epoch=epoch,
-                    drop_last=drop_last):
+            for idx, valid in epoch_index_batches(
+                    len(dataset), batch_size, shuffle=shuffle, seed=seed,
+                    epoch=epoch, drop_last=drop_last):
                 if stop.is_set():
                     return
-                if sharding is not None:
-                    batch = {k: jax.device_put(v, sharding)
-                             for k, v in batch.items()}
-                else:
-                    batch = {k: jax.device_put(v) for k, v in batch.items()}
-                q.put((batch, meta))
+                q.put(ship(idx, valid))
         except BaseException as e:  # pragma: no cover
             q.put(("__error__", e))
         finally:

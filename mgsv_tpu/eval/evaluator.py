@@ -33,17 +33,19 @@ from mgsv_tpu.train.step import make_eval_step
 
 
 @functools.lru_cache(maxsize=8)
-def _scan_program(eval_step):
+def _scan_program(eval_step, gather_fn):
     """One jitted lax.scan over all eval batches of a device-resident
     dataset: a full epoch forward becomes a SINGLE dispatch (the per-batch
     host loop costs one link round-trip per batch — ~2 s each over the
-    remote tunnel vs 136 ms of device compute at the paper shape)."""
-    from mgsv_tpu.data.device_data import gather_batch
+    remote tunnel vs 136 ms of device compute at the paper shape).
+    `gather_fn` is the dataset's batch-assembly program — the plain fancy
+    gather on one device, or the shard_map psum_scatter gather when the
+    resident tables are dp-sharded (data/device_data.py)."""
 
     @jax.jit
     def run(params, tree, idx_chunks):
         def body(_, idx):
-            out = eval_step(params, gather_batch(tree, idx))
+            out = eval_step(params, gather_fn(tree, idx))
             return None, (out["video_emb"], out["music_emb"],
                           out["seg_tokens"], out["segment_mask"],
                           out["iou"], out["pred_spans_sec"], out["loss"])
@@ -74,6 +76,21 @@ def evaluate(
     batch_size = batch_size or cfg.train.batch_size_val
     eval_step = eval_step or make_eval_step(model, cfg)
 
+    # Multi-process (jax.distributed): batches are fed per process through
+    # the shared shipper, per-row outputs come back as non-addressable
+    # global arrays and are gathered to identical host copies on every
+    # process (process_allgather), and the corpus similarity then runs
+    # host-fed per process — every process computes identical metrics.
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from jax.experimental import multihost_utils
+        # tiled=True: eval-step outputs are GLOBAL dp-sharded arrays; gather
+        # the shards into the full [B, ...] value on every process
+        to_host = lambda x: np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
+    else:
+        to_host = np.asarray
+
     shard = None
     if mesh is not None and mesh.devices.size > 1:
         from mgsv_tpu.core import mesh as mesh_lib
@@ -84,7 +101,9 @@ def evaluate(
         batch_size = -(-batch_size // dp) * dp
         params = mesh_lib.replicate(mesh, params)
         sharding = mesh_lib.batch_sharding(mesh)
-        shard = lambda b: {k: jax.device_put(v, sharding) for k, v in b.items()}
+        shard = sharding  # sentinel: multi-device loop path below
+    elif multiproc:
+        raise ValueError("multi-process evaluation needs the global mesh")
 
     video_embs, music_embs = [], []
     seg_tokens, seg_masks = [], []
@@ -99,11 +118,15 @@ def evaluate(
     # rows exist only at the tail of the final batch, so device-side
     # concatenation + one prefix slice recovers exactly the valid rows.
     on_device = shard is None
-    if on_device and hasattr(dataset, "tree"):
+    resident = hasattr(dataset, "tree") and (
+        shard is None or getattr(dataset, "mesh", None) is not None)
+    if resident:
         # Device-resident dataset: the whole epoch forward is ONE lax.scan
         # dispatch (same per-batch programs, same tail padding — repeat the
         # last row — so outputs are bit-identical to the loop below; pinned
-        # in tests/test_device_data.py).
+        # in tests/test_device_data.py).  dp-sharded residency takes the
+        # same path: the gather itself runs under shard_map.
+        on_device = True
         n = n_valid = len(dataset)
         ix = dataset.index
         pad = (-n) % batch_size
@@ -111,8 +134,8 @@ def evaluate(
         idx_all = (np.concatenate([order, np.repeat(order[-1:], pad)])
                    if pad else order)
         chunks = jnp.asarray(idx_all.reshape(-1, batch_size), jnp.int32)
-        ve, me, st, smk, io, ps, ls = _scan_program(eval_step)(
-            params, dataset.tree, chunks)
+        ve, me, st, smk, io, ps, ls = _scan_program(
+            eval_step, dataset.gather_fn)(params, dataset.tree, chunks)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         video_embs = flat(ve)[:n]                 # [N, D]
         music_embs = flat(me)[:n]
@@ -126,10 +149,13 @@ def evaluate(
         video_ids = list(ix.video_ids)
         music_ids = list(ix.music_ids)
     else:
-        for batch, meta in dataset.epoch_batches(
-                batch_size, shuffle=False, drop_last=False):
-            if shard is not None:
-                batch = shard(batch)
+        from mgsv_tpu.data.pipeline import make_batch_shipper
+        from mgsv_tpu.data.dataset import epoch_index_batches
+
+        ship = make_batch_shipper(dataset, shard)
+        for idx, bvalid in epoch_index_batches(
+                len(dataset), batch_size, shuffle=False, drop_last=False):
+            batch, meta = ship(idx, bvalid)
             out = eval_step(params, batch)
             valid = meta.valid
             k = int(valid.sum())
@@ -140,12 +166,12 @@ def evaluate(
                 seg_tokens.append(out["seg_tokens"])
                 seg_masks.append(out["segment_mask"])
             else:
-                video_embs.append(np.asarray(out["video_emb"])[valid])
-                music_embs.append(np.asarray(out["music_emb"])[valid])
-                seg_tokens.append(np.asarray(out["seg_tokens"])[valid])
-                seg_masks.append(np.asarray(out["segment_mask"])[valid])
-            ious.append(np.asarray(out["iou"])[valid])
-            pred_spans.append(np.asarray(out["pred_spans_sec"])[valid])
+                video_embs.append(to_host(out["video_emb"])[valid])
+                music_embs.append(to_host(out["music_emb"])[valid])
+                seg_tokens.append(to_host(out["seg_tokens"])[valid])
+                seg_masks.append(to_host(out["segment_mask"])[valid])
+            ious.append(to_host(out["iou"])[valid])
+            pred_spans.append(to_host(out["pred_spans_sec"])[valid])
             # Weight each batch's loss by its valid-row count so the padded
             # final batch doesn't skew the epoch average (its in-batch loss
             # still sees padded rows as extra negatives; full batches
@@ -161,9 +187,15 @@ def evaluate(
         seg_masks = cat(seg_masks)[:n_valid]
         ious = np.concatenate(ious)
 
+    # Multi-process: every process holds identical host copies of the
+    # gathered embeddings, so the corpus similarity runs per process on its
+    # local devices (replicated work, zero cross-host coordination) and all
+    # processes derive bit-identical metrics.  Single-process multi-device
+    # keeps the mesh-sharded similarity.
     sim = corpus_similarity(
         params, video_embs, music_embs, seg_tokens, seg_masks, cfg,
-        block_size=sim_block_size, mesh=mesh, use_fused_kernel=use_fused_sim)
+        block_size=sim_block_size, mesh=None if multiproc else mesh,
+        use_fused_kernel=use_fused_sim)
 
     ret_metrics, ranks, ret_results = M.recall_metrics(sim, music_ids)
     loc_metrics = M.iou_metrics(ious)
@@ -220,15 +252,16 @@ def corpus_similarity(
             from mgsv_tpu.ops.pallas.xpool_sim import xpool_sim_fused
             return xpool_sim_fused(video, jnp.asarray(seg_tokens), mask, sub)
         xpool = XPoolTransformer(m.dim_input, dropout=m.xpool_dropout)
-        from mgsv_tpu.core.mesh import DATA_AXIS
-        if (mesh is not None and mesh.devices.size > 1
-                and len(seg_tokens) % mesh.shape[DATA_AXIS] == 0):
-            from mgsv_tpu.eval.similarity import xpool_similarity_sharded
+        if mesh is not None and mesh.devices.size > 1:
+            from mgsv_tpu.eval.similarity import xpool_similarity_mesh
             # fusion_mask=False still ships an all-ones mask (the sharded
             # path needs a concrete array for its shard specs).
             shard_mask = (jnp.asarray(seg_masks) if m.fusion_mask
                           else jnp.ones(seg_masks.shape, jnp.float32))
-            return xpool_similarity_sharded(
+            # dispatches 2D (video x catalog over dp x mp) when the mesh
+            # has a real mp axis, 1D music-sharded otherwise; pads
+            # internally so any corpus size works
+            return xpool_similarity_mesh(
                 xpool.apply, sub, video, jnp.asarray(seg_tokens),
                 shard_mask, mesh,
                 block_size=min(block_size, len(seg_tokens)))

@@ -129,6 +129,103 @@ def xpool_similarity_sharded(
     return sharded(params, video_embs, seg_tokens, seg_mask)
 
 
+def xpool_similarity_sharded_2d(
+    apply_fn: Callable,
+    params,
+    video_embs: jnp.ndarray,     # [V, D]
+    seg_tokens: jnp.ndarray,     # [M, S, D]
+    seg_mask: jnp.ndarray,       # [M, S]
+    mesh: Mesh,
+    video_axis: str = "dp",
+    music_axis: str = "mp",
+    block_size: int = 256,
+) -> jnp.ndarray:
+    """Pooled similarity 2D-blocked over the full (dp, mp) mesh: the VIDEO
+    axis shards over dp and the MUSIC/catalog axis over mp, so both mesh
+    axes carry real work during train-time eval (VERDICT r3 task 5 — mp's
+    job; the serving index is its other tenant, serve/engine.py mesh_axis).
+
+    Each device computes its [V/dp, M/mp] block independently — the pooled
+    attention and the similarity are per-(video, track) pairs, so no
+    collectives are needed and the result is bit-identical to the 1D and
+    single-device paths (pinned in tests/test_train_integration.py).
+    V must divide dp and M must divide mp.
+    """
+    dp, mp = mesh.shape[video_axis], mesh.shape[music_axis]
+    v, m = video_embs.shape[0], seg_tokens.shape[0]
+    assert v % dp == 0, f"video count {v} not divisible by {video_axis}={dp}"
+    assert m % mp == 0, f"music count {m} not divisible by {music_axis}={mp}"
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(video_axis), P(music_axis), P(music_axis)),
+        out_specs=P(video_axis, music_axis),
+        check_vma=False,
+    )
+    def sharded(params, video_shard, seg_shard, mask_shard):
+        return xpool_similarity_blocked(
+            apply_fn, params, video_shard, seg_shard, mask_shard,
+            block_size=min(block_size, seg_shard.shape[0]))
+
+    return sharded(params, video_embs, seg_tokens, seg_mask)
+
+
+def xpool_similarity_mesh(
+    apply_fn: Callable,
+    params,
+    video_embs: jnp.ndarray,     # [V, D]
+    seg_tokens: jnp.ndarray,     # [M, S, D]
+    seg_mask: jnp.ndarray,       # [M, S]
+    mesh: Mesh,
+    block_size: int = 256,
+) -> jnp.ndarray:
+    """Mesh-aware corpus similarity dispatch with internal padding.
+
+    Routes to the 2D (dp x mp) sharding when the mesh has a real mp axis —
+    both mesh axes carry work during train-time eval — and to the 1D
+    music-sharded path on a dp-only mesh.  Pads V up to a dp multiple and
+    M up to a (dp*|*mp) multiple so arbitrary corpus sizes work, then
+    slices back to exactly [V, M]; padded video rows use ones (a zero
+    video embedding would 0/0-NaN its own similarity row — harmless but
+    ugly) and padded tracks get the same single-valid-snippet mask as
+    xpool_similarity_blocked.
+    """
+    from mgsv_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = axes.get(DATA_AXIS, 1)
+    mp = axes.get(MODEL_AXIS, 1)
+    v, m = video_embs.shape[0], seg_tokens.shape[0]
+    m_div = mp if mp > 1 else dp
+
+    pad_m = (-m) % m_div
+    if pad_m:
+        s, d = seg_tokens.shape[1:]
+        seg_tokens = jnp.concatenate(
+            [seg_tokens, jnp.zeros((pad_m, s, d), seg_tokens.dtype)], axis=0)
+        pad_mask = jnp.zeros((pad_m, s), seg_mask.dtype).at[:, 0].set(1)
+        seg_mask = jnp.concatenate([seg_mask, pad_mask], axis=0)
+
+    if mp > 1:
+        pad_v = (-v) % dp
+        if pad_v:
+            video_embs = jnp.concatenate(
+                [video_embs,
+                 jnp.ones((pad_v, video_embs.shape[1]), video_embs.dtype)],
+                axis=0)
+        sim = xpool_similarity_sharded_2d(
+            apply_fn, params, video_embs, seg_tokens, seg_mask, mesh,
+            video_axis=DATA_AXIS, music_axis=MODEL_AXIS,
+            block_size=block_size)
+        return sim[:v, :m]
+
+    sim = xpool_similarity_sharded(
+        apply_fn, params, video_embs, seg_tokens, seg_mask, mesh,
+        axis=DATA_AXIS,
+        block_size=min(block_size, seg_tokens.shape[0] // dp))
+    return sim[:, :m]
+
+
 def xpool_sim_fused_sharded(
     video_embs: jnp.ndarray,     # [V, D]
     seg_tokens: jnp.ndarray,     # [M, S, D]

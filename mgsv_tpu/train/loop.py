@@ -92,30 +92,37 @@ class Trainer:
         # device (data/device_data.py).  Biggest win over remote-TPU links
         # (measured: per-batch uploads at bs=512 cost ~8 s/step vs the
         # 55 ms compute); a PCIe-traffic win on local chips too.
-        if cfg.train.device_data == "on" and self.mesh.devices.size > 1:
+        self.multiprocess = jax.process_count() > 1
+        if cfg.train.device_data == "on" and self.multiprocess:
             raise ValueError(
-                "train.device_data='on' requires a single-device mesh "
-                "(batches are assembled on one device); use 'auto'/'off' "
-                "for multi-device training")
-        use_dev_data = train_data is not None and (
+                "train.device_data='on' is single-process only (the resident "
+                "stores shard over one process's devices); use 'auto'/'off' "
+                "under a multi-process launch")
+        use_dev_data = train_data is not None and not self.multiprocess and (
             cfg.train.device_data == "on" or (
                 cfg.train.device_data == "auto"
-                and self.mesh.devices.size == 1
                 and jax.default_backend() not in ("cpu",)))
         if use_dev_data:
             from mgsv_tpu.data.device_data import (DeviceResidentData,
                                                    dataset_device_bytes)
+            # multi-device meshes shard the resident tables over dp
+            # (data/device_data.py), so the HBM budget is per-device
+            dp = max(1, self.mesh.devices.size)
             if (cfg.train.device_data == "on"
-                    or dataset_device_bytes(train_data) < 6 << 30):
-                logger.info("device-resident dataset enabled")
+                    or dataset_device_bytes(train_data) // dp < 6 << 30):
+                res_mesh = self.mesh if self.mesh.devices.size > 1 else None
+                logger.info("device-resident dataset enabled%s",
+                            f" (tables dp-sharded over {dp} devices)"
+                            if res_mesh is not None else "")
                 orig_train = train_data
-                self.train_data = train_data = DeviceResidentData(train_data)
+                self.train_data = train_data = DeviceResidentData(
+                    train_data, mesh=res_mesh)
                 if val_data is not None:
                     # synthetic runs reuse the train dataset as val: share
                     # the uploaded copy instead of doubling HBM
                     self.val_data = val_data = (
                         train_data if val_data is orig_train else
-                        DeviceResidentData(val_data))
+                        DeviceResidentData(val_data, mesh=res_mesh))
 
         if self.mesh.devices.size > 1 and cfg.model.fused_xpool_sim:
             logger.info("multi-device mesh: fused X-Pool similarity runs "
@@ -139,6 +146,34 @@ class Trainer:
         self.state = None
         self._tb = None
 
+    def _emergency_save(self, epoch: int) -> None:
+        """Write the epoch-start snapshot as a resumable 'last' checkpoint.
+
+        Called when a non-finite loss is detected: the LIVE state has been
+        through apply_gradients with NaN grads and is unusable, so the saved
+        state is the clean one captured at the top of the epoch (resume
+        re-trains the failed epoch).  Exercised by
+        tests/test_train_integration.py fault-injection tests.
+        """
+        if self.ckpt is not None and getattr(self, "_epoch_start_state", None):
+            self.ckpt.save("last", self._epoch_start_state)
+            self.ckpt.wait()
+            logger.error(
+                "non-finite loss in epoch %d — emergency 'last' checkpoint "
+                "written from the epoch-start state (step %d)",
+                epoch, self._epoch_start_state["step"])
+
+    def _to_host(self, x) -> np.ndarray:
+        """Fetch a per-row device array to host; multi-process arrays are
+        non-addressable and come back via a replicating allgather."""
+        if self.multiprocess:
+            from jax.experimental import multihost_utils
+            # tiled=True: x is a GLOBAL array (dp-sharded or replicated);
+            # gather its shards into the full value on every process
+            # (untiled stacking is for host-local per-process data)
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     # ------------------------------------------------------------------ setup
     def init_state(self, example_batch: Dict[str, Any], seed: Optional[int] = None):
         rng = jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed)
@@ -156,6 +191,12 @@ class Trainer:
 
     def _tb_writer(self):
         if self._tb is None:
+            from mgsv_tpu.core import dist
+            if not dist.is_primary():
+                # exactly one TB stream per run: the reference gates every
+                # writer on local_rank == 0 (train-MaDe.py:246-247)
+                self._tb = False
+                return None
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(log_dir=self.run_dir)
@@ -173,6 +214,16 @@ class Trainer:
             self.init_state(first)
 
         rng = jax.random.PRNGKey(cfg.train.seed + 977 * epoch)
+        # Clean-state snapshot for the NaN guard below: once a non-finite
+        # loss has gone through apply_gradients the live params are poisoned,
+        # so the emergency checkpoint must come from BEFORE the failure —
+        # one host fetch per epoch buys a resumable epoch-boundary state.
+        if self.ckpt is not None:
+            self._epoch_start_state = {
+                "params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "step": int(self.state.step), "epoch": epoch - 1,
+            }
         t0 = time.time()
         losses, ret_losses, loc_losses, ious = [], [], [], []
         steps = 0
@@ -199,9 +250,11 @@ class Trainer:
             # loss would silently poison every later step — abort loudly with
             # the offending step's stats instead.
             if steps % 50 == 1 and not np.isfinite(float(log["loss"])):
+                self._emergency_save(epoch)
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch} step {steps}: "
-                    f"{ {k: float(v) for k, v in log.items() if np.ndim(v) == 0} }")
+                    f"{ {k: float(v) for k, v in log.items() if np.ndim(v) == 0} }"
+                    " (resumable 'last' checkpoint saved from the epoch start)")
             losses.append(log["loss"])
             ret_losses.append(log["retrieval_loss"])
             loc_losses.append(log["localization_loss"])
@@ -231,22 +284,16 @@ class Trainer:
         step_losses = np.asarray([float(x) for x in losses])
         if not np.isfinite(step_losses).all():
             bad = int(np.argmax(~np.isfinite(step_losses)))
-            if self.ckpt is not None:
-                # emergency resumable checkpoint: without it, aborting here
-                # would discard the run's optimizer state
-                self.ckpt.save("last", {
-                    "params": jax.device_get(self.state.params),
-                    "opt_state": jax.device_get(self.state.opt_state),
-                    "step": int(self.state.step), "epoch": epoch - 1,
-                })
-                self.ckpt.wait()
+            self._emergency_save(epoch)
             raise FloatingPointError(
                 f"non-finite loss at epoch {epoch} step {bad + 1}: "
-                f"{step_losses[bad]} (resumable 'last' checkpoint saved)")
+                f"{step_losses[bad]} (resumable 'last' checkpoint saved "
+                "from the epoch start)")
         loss = float(step_losses.mean())
         ret = float(np.mean([float(x) for x in ret_losses]))
         loc = float(np.mean([float(x) for x in loc_losses]))
-        miou = float(np.mean(np.concatenate([np.asarray(x) for x in ious])))
+        miou = float(np.mean(np.concatenate(
+            [self._to_host(x) for x in ious])))
         dt = time.time() - t0
         clips = steps * cfg.train.batch_size_train / dt if dt > 0 else 0.0
         stats = EpochStats(loss, ret, loc, miou, dt, steps, clips)
@@ -367,8 +414,10 @@ class Trainer:
                     cfg.train.early_stop_patience):
                 logger.info("early stop at epoch %d", epoch)
                 break
-        with open(os.path.join(self.run_dir, "history.json"), "w") as f:
-            json.dump(history, f, indent=2, default=float)
+        from mgsv_tpu.core import dist
+        if dist.is_primary():
+            with open(os.path.join(self.run_dir, "history.json"), "w") as f:
+                json.dump(history, f, indent=2, default=float)
         if self.ckpt:
             # "last" carries the optimizer state so training can resume.
             self.ckpt.save("last", {
@@ -378,4 +427,8 @@ class Trainer:
                 "epoch": history[-1]["epoch"] if history else 0,
             })
             self.ckpt.wait()
+        if self.multiprocess:
+            # co-exit: non-primary processes wait for the primary's writes
+            # (the reference's barrier after eval, train-MaDe.py:634)
+            dist.barrier("fit-end")
         return {"history": history, "best": self.tracker.best}

@@ -16,6 +16,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.torch_oracle]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -7,6 +7,9 @@ checkpoint formats, and the shared override parser.
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.torch_oracle
 
 TINY = [
     "--data.max_v_frames", "12", "--data.stride", "20.0",
@@ -43,6 +46,7 @@ def test_epoch_sweep_tag_discovery(tmp_path):
     assert _epoch_sweep_tags(None, str(tmp_path / "missing")) == []
 
 
+@pytest.mark.slow
 def test_train_cli_then_epoch_sweep(tmp_path):
     """Train 2 epochs with per-epoch checkpoints via the CLI, then sweep them
     with `evaluate --sweep-epochs` — the reference's all-epoch scan."""
@@ -155,6 +159,7 @@ def test_convert_reference_features_cli(tmp_path):
                                   batch["segment_feats"][2])
 
 
+@pytest.mark.slow
 def test_index_cli_build_query_serve(tmp_path, capsys):
     """`index build` -> `index query` -> `index serve` end-to-end: packed
     stores in, ranked JSON out, HTTP round trip with --warmup pre-compile."""

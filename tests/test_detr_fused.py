@@ -6,6 +6,9 @@ import numpy as np
 
 from mgsv_tpu.models.detr import DetrTransformer
 from mgsv_tpu.ops.pallas.detr_fused import detr_forward_fused
+import pytest
+
+pytestmark = pytest.mark.kernel
 
 
 def test_fused_detr_matches_module():

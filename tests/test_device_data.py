@@ -5,6 +5,7 @@ import numpy as np
 from mgsv_tpu.config import DataConfig
 from mgsv_tpu.data import synthetic
 from mgsv_tpu.data.device_data import DeviceResidentData, dataset_device_bytes
+import pytest
 
 
 def _ds(tmp_path):
@@ -39,6 +40,7 @@ def test_batches_match_host_pipeline(tmp_path):
                     atol=1e-6, err_msg=key)
 
 
+@pytest.mark.slow
 def test_trainer_with_forced_device_data(tmp_path):
     """device_data="on" forces residency even on CPU; training must work and
     share the uploaded copy between train and val."""
@@ -71,6 +73,7 @@ def test_trainer_with_forced_device_data(tmp_path):
     assert "eval" in out["history"][0]
 
 
+@pytest.mark.slow
 def test_evaluator_scan_path_matches_loop(tmp_path):
     """evaluate() over DeviceResidentData takes the single-dispatch lax.scan
     path; results must be identical to the per-batch loop over the host
@@ -110,3 +113,74 @@ def test_evaluator_scan_path_matches_loop(tmp_path):
         for k, v in res_loop[sec].items():
             np.testing.assert_allclose(res_scan[sec][k], v, atol=1e-9,
                                        err_msg=f"{sec}.{k}")
+
+
+@pytest.mark.slow
+def test_dp_sharded_batches_match_host_pipeline(tmp_path):
+    """Tables sharded over the 8-device dp mesh: the shard_map psum_scatter
+    gather must reproduce the host pipeline bit-for-bit (VERDICT r3 task 2).
+    Reference role being replaced: the DistributedSampler shard,
+    dataloaders/data_dataloaders.py:11."""
+    from mgsv_tpu.core.mesh import make_mesh
+
+    ds = _ds(tmp_path)                      # 20 rows, 7 tracks
+    mesh = make_mesh((8, 1))
+    dd = DeviceResidentData(ds, mesh=mesh)
+    assert dd.mesh is mesh
+
+    host = list(ds.epoch_batches(8, shuffle=True, seed=42, epoch=3))
+    dev = list(dd.epoch_batches(8, shuffle=True, seed=42, epoch=3))
+    assert len(host) == len(dev) == 2
+    for (hb, hm), (db, dm) in zip(host, dev):
+        assert hm.video_ids == dm.video_ids
+        for key in hb:
+            np.testing.assert_array_equal(
+                np.asarray(db[key]), np.asarray(hb[key]), err_msg=key)
+
+    # batch size not divisible by dp is rejected loudly
+    import pytest
+    with pytest.raises(AssertionError, match="divide the dp axis"):
+        next(iter(dd.epoch_batches(6, shuffle=False)))
+
+
+@pytest.mark.slow
+def test_trainer_dp_sharded_device_data_matches_host(tmp_path):
+    """device_data='on' over the full 8-device mesh trains with losses
+    IDENTICAL to the host pipeline (same SPMD step program, same dp batch
+    layout), and eval metrics match — the restriction VERDICT r3 #3 flagged
+    (train/loop.py:95-97) is gone."""
+    import dataclasses
+
+    from mgsv_tpu.config import Config, ModelConfig, TrainConfig
+    from mgsv_tpu.train.loop import Trainer
+
+    ds = _ds(tmp_path)
+    base = Config(
+        data=DataConfig(max_v_frames=8, stride=30.0, filter_sec=30.0,
+                        vit_dim=32, ast_dim=48),
+        model=ModelConfig(dim_input=16, temporal_mlp_dim=32, detr_ffn_dim=32,
+                          detr_enc_layers=1, detr_dec_layers=2,
+                          temporal_heads=4, detr_heads=4, contrastive_dim=16,
+                          video_pe_len=16, audio_pe_len=16,
+                          compute_dtype="float32"),
+        train=TrainConfig(epochs=2, batch_size_train=16, batch_size_val=8,
+                          device_data="off", output_dir=str(tmp_path / "off"),
+                          save_checkpoints=False))
+
+    t_off = Trainer(base, train_data=ds, val_data=ds)
+    out_off = t_off.fit()
+
+    cfg_on = dataclasses.replace(base, train=dataclasses.replace(
+        base.train, device_data="on", output_dir=str(tmp_path / "on")))
+    t_on = Trainer(cfg_on, train_data=ds, val_data=ds)
+    assert isinstance(t_on.train_data, DeviceResidentData)
+    assert t_on.train_data.mesh is not None
+    assert t_on.val_data is t_on.train_data
+    out_on = t_on.fit()
+
+    for r_off, r_on in zip(out_off["history"], out_on["history"]):
+        assert r_on["train"]["loss"] == r_off["train"]["loss"], (
+            r_off["epoch"], r_on["train"]["loss"], r_off["train"]["loss"])
+        assert r_on["eval"]["R1"] == r_off["eval"]["R1"]
+        np.testing.assert_allclose(r_on["eval"]["mIoU"],
+                                   r_off["eval"]["mIoU"], atol=1e-6)

@@ -40,6 +40,8 @@ sys.path.insert(0, "/root/reference")
 
 from mgsv_tpu.models.embedding_net import EmbeddingNet  # noqa: E402
 
+pytestmark = pytest.mark.torch_oracle
+
 
 def _ref_embedding_net(dim=32, hidden=64, channel=6):
     from model.model_Base import EmbeddingNet as RefEmbeddingNet
@@ -116,6 +118,7 @@ def test_embedding_net_parity_train_and_eval(steps):
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mlp_agg_trains_end_to_end():
     """A tiny MaDe with agg_module="mlp" must train (batch_stats threaded
     through the jitted step) and evaluate with running averages."""

@@ -13,6 +13,9 @@ from utils.util_test import Recall_metrics as ref_recall  # noqa: E402
 
 from mgsv_tpu.eval import metrics, similarity  # noqa: E402
 from mgsv_tpu.models.xpool import XPoolTransformer, sim_matrix_music_pooling  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.torch_oracle
 
 
 def _sim_problem(n=60, n_unique=40, seed=0):
@@ -96,6 +99,42 @@ def test_sharded_similarity_matches_blocked():
     sharded = similarity.xpool_similarity_sharded(
         xpool.apply, params, video, segs, mask, mesh, block_size=4)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(blocked), atol=1e-5)
+
+
+def test_mesh_2d_similarity_matches_blocked():
+    """xpool_similarity_mesh on a (dp=4, mp=2) mesh — video rows sharded
+    over dp, the music catalog over mp (VERDICT r3 task 5: the mp axis's
+    eval-time job) — must match the single-device blocked path exactly,
+    including the internal padding for corpus sizes that divide neither
+    axis (V=10 % 4 != 0, M=21 % 2 != 0)."""
+    from mgsv_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh((4, 2))
+    rng = np.random.RandomState(4)
+    v_count, m_count, s, d = 10, 21, 6, 16
+    video = jnp.asarray(rng.randn(v_count, d).astype(np.float32))
+    segs = jnp.asarray(rng.randn(m_count, s, d).astype(np.float32))
+    mask = np.ones((m_count, s), np.float32)
+    mask[:, 4:] = 0
+    mask = jnp.asarray(mask)
+
+    xpool = XPoolTransformer(d)
+    params = xpool.init(jax.random.PRNGKey(0), video, segs, mask)
+    blocked = similarity.xpool_similarity_blocked(
+        xpool.apply, params, video, segs, mask, block_size=8)
+    mesh2d = similarity.xpool_similarity_mesh(
+        xpool.apply, params, video, segs, mask, mesh, block_size=8)
+    assert mesh2d.shape == (v_count, m_count)
+    np.testing.assert_allclose(np.asarray(mesh2d), np.asarray(blocked),
+                               atol=1e-5)
+
+    # dp-only mesh routes to the 1D music-sharded path, same contract
+    mesh1d = similarity.xpool_similarity_mesh(
+        xpool.apply, params, video, segs, mask, make_mesh((8, 1)),
+        block_size=8)
+    assert mesh1d.shape == (v_count, m_count)
+    np.testing.assert_allclose(np.asarray(mesh1d), np.asarray(blocked),
+                               atol=1e-5)
 
 
 def test_rect_rank_equals_dedup_rank():

@@ -53,3 +53,5 @@ def jax_softmax(x):
 
 
 import jax  # noqa: E402  (used by jax_softmax)
+
+pytestmark = pytest.mark.kernel

@@ -9,6 +9,8 @@ import pytest
 from mgsv_tpu.data import audio
 from mgsv_tpu.data.frames import black_frame, load_clip_frames, preprocess_image
 
+pytestmark = pytest.mark.torch_oracle
+
 
 def test_fbank_shapes_and_floor():
     sr = 16000
@@ -92,6 +94,7 @@ def test_load_clip_frames(tmp_path):
     np.testing.assert_allclose(frames[4], black_frame(32), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_frozen_encoders_batch_shapes():
     import jax
 

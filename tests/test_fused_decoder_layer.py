@@ -8,7 +8,10 @@ import pytest
 from mgsv_tpu.models.detr import DetrDecoderLayer
 from mgsv_tpu.ops.pallas.fused_decoder_layer import fused_decoder_layer_train
 
+pytestmark = pytest.mark.kernel
 
+
+@pytest.mark.slow
 @pytest.mark.parametrize("self_attn,q", [(True, 1), (True, 3), (False, 1)])
 def test_fused_decoder_matches_xla(self_attn, q):
     b, L, d, heads = 5, 14, 32, 4

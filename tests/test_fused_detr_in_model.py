@@ -11,6 +11,9 @@ from mgsv_tpu.config import Config, DataConfig, ModelConfig
 from mgsv_tpu.models.detr import DetrTransformer
 from mgsv_tpu.models.made import MaDe
 from mgsv_tpu.train.objective import total_loss
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
 
 
 def test_param_tree_matches_and_forward_equal():

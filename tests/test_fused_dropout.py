@@ -22,6 +22,8 @@ from mgsv_tpu.models.detr import DetrTransformer, FusedDetrEncoderLayer
 from mgsv_tpu.ops.pallas.fused_encoder_layer import jax_dropout_masks
 from mgsv_tpu.ops.pallas.fused_encoder_layer_vjp import fused_encoder_layer_train
 
+pytestmark = pytest.mark.kernel
+
 
 def _setup(b=4, L=10, d=32, heads=4, ffn=64, rate=0.2):
     rng = np.random.RandomState(0)
@@ -50,6 +52,7 @@ def test_seed_determinism_and_sensitivity():
     assert np.isfinite(np.asarray(a)).all()
 
 
+@pytest.mark.slow
 def test_bwd_regenerates_fwd_masks():
     """grad of sum(out * cot) must be computed under the SAME masks the
     forward used — checked by comparing against jax.grad of the mask-fixed
@@ -130,6 +133,7 @@ def test_detr_transformer_trains_with_fused_dropout():
     tr.apply(params, src, mask, pos, qe, None, True)
 
 
+@pytest.mark.slow
 def test_train_step_fused_dropout_integration():
     """One jitted train step of the full MaDe model with
     fused_detr_encoder=True AND detr_dropout>0 on the CPU mesh."""

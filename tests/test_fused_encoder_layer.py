@@ -8,6 +8,8 @@ import pytest
 from mgsv_tpu.models.detr import DetrEncoderLayer
 from mgsv_tpu.ops.pallas.fused_encoder_layer import fused_encoder_layer
 
+pytestmark = pytest.mark.kernel
+
 
 @pytest.mark.parametrize("b,L,d,heads,block_b", [
     (6, 16, 32, 4, 4),     # unaligned batch -> padding path

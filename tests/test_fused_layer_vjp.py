@@ -8,11 +8,14 @@ import pytest
 from mgsv_tpu.models.detr import DetrEncoderLayer
 from mgsv_tpu.ops.pallas.fused_encoder_layer_vjp import fused_encoder_layer_train
 
+pytestmark = pytest.mark.kernel
+
 
 @pytest.mark.parametrize("b,L,d,heads,block_b", [
     (5, 14, 32, 4, 4),    # unaligned batch (padding in both kernels)
     (8, 20, 64, 8, 4),
 ])
+@pytest.mark.slow
 def test_vjp_matches_xla_grads(b, L, d, heads, block_b):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, L, d).astype(np.float32) * 0.4)

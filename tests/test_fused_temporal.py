@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from mgsv_tpu.models.temporal import FusedTemporalTransformer, TemporalTransformer
 
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
 
 def _setup(depth=1, b=4, L=10, d=32, heads=4, f=64, dropout=0.0):
     rng = np.random.RandomState(0)

@@ -8,6 +8,7 @@ import numpy as np
 
 from mgsv_tpu.config import Config, TrainConfig
 from mgsv_tpu.train.optimizer import make_optimizer
+import pytest
 
 
 def _tiny_params():
@@ -37,6 +38,7 @@ def test_multisteps_updates_every_k():
     assert changed == [False, False, changed[2], False, False, True]
 
 
+@pytest.mark.slow
 def test_schedule_horizon_divided_by_accumulation():
     """With k micro-batches per update, warmup/cosine advance in UPDATE
     units: the schedule horizon must be total_micro_steps / k."""

@@ -10,6 +10,9 @@ sys.path.insert(0, "/root/reference")
 from music_detr.position_encoding import PositionEmbeddingSine  # noqa: E402
 
 from mgsv_tpu.models import layers as L  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.torch_oracle
 
 
 def test_position_embedding_sine_parity():

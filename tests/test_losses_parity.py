@@ -25,6 +25,8 @@ from modules.loss import cal_distance as torch_cal_distance  # noqa: E402
 from mgsv_tpu.config import LossConfig  # noqa: E402
 from mgsv_tpu.ops import losses, matcher  # noqa: E402
 
+pytestmark = pytest.mark.torch_oracle
+
 
 def _ref_args(**kw):
     a = types.SimpleNamespace(
@@ -104,6 +106,7 @@ def test_matcher_parity(bs, nq, nt, zeros):
         np.testing.assert_allclose(our_cost, ref_cost, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bs,nq,nt,layers", [(6, 1, 1, 6), (4, 3, 2, 3), (5, 2, 1, 1)])
 def test_set_criterion_parity(bs, nq, nt, layers):
     rng = np.random.RandomState(bs + nq * 7 + nt * 13 + layers)

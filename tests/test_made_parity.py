@@ -45,6 +45,8 @@ from mgsv_tpu.interop.torch_import import import_uni_state_dict  # noqa: E402
 from mgsv_tpu.models.made import MaDe  # noqa: E402
 from mgsv_tpu.train.objective import total_loss  # noqa: E402
 
+pytestmark = [pytest.mark.slow, pytest.mark.torch_oracle]
+
 
 def _ref_args():
     return types.SimpleNamespace(

@@ -11,6 +11,8 @@ from mgsv_tpu.config import Config
 from mgsv_tpu.models.made import MaDe
 from mgsv_tpu.train.objective import total_loss
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(**model_kw):
     cfg = Config()

@@ -16,6 +16,8 @@ from mgsv_tpu.config import Config  # noqa: E402
 from mgsv_tpu.train import schedule as sched  # noqa: E402
 from mgsv_tpu.train.optimizer import FROZEN, label_params, make_optimizer  # noqa: E402
 
+pytestmark = pytest.mark.torch_oracle
+
 
 @pytest.mark.parametrize("name,ref_cls", [
     ("warmupcosine", WarmupCosineSchedule),
@@ -66,6 +68,7 @@ def test_exponential_schedule_matches_torch(update_rate):
     np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_param_groups_cover_model_and_freeze_query_embed():
     from mgsv_tpu.models.made import MaDe
     import dataclasses
@@ -114,6 +117,7 @@ def test_param_groups_cover_model_and_freeze_query_embed():
     assert labels2["params"]["query_embed"] == "detection"
 
 
+@pytest.mark.slow
 def test_param_audit_partitions_tree():
     """The startup audit's 4 groups partition the param tree exactly
     (the reference's count_parameters audit, train-MaDe.py:209-304)."""

@@ -46,6 +46,8 @@ from mgsv_tpu.interop.torch_import import (import_uni_state_dict,  # noqa: E402
                                            load_reference_checkpoint)
 from mgsv_tpu.models.made import MaDe  # noqa: E402
 
+pytestmark = pytest.mark.torch_oracle
+
 
 def _cfg():
     cfg = Config()
@@ -82,6 +84,7 @@ def _assert_trees_equal(a, b):
     # both X-Pool sides + moment head
     {"vmr_fusion": "XA-music-video", "moment_loss": True},
 ], ids=["paper", "ca_fusion", "xa_both_moment"])
+@pytest.mark.slow
 def test_roundtrip_flax_torch_flax(model_over):
     cfg = _cfg()
     cfg = dataclasses.replace(
@@ -131,6 +134,7 @@ def test_roundtrip_matches_live_reference_names():
     assert not unexpected, unexpected[:5]
 
 
+@pytest.mark.slow
 def test_bin_checkpoint_cycle(tmp_path):
     cfg = _cfg()
     params = _init_params(cfg)

@@ -17,6 +17,9 @@ import torch.nn.functional as F
 from mgsv_tpu.models.ast import (
     ASTEncoder, import_ast_state_dict, patch_grid, surgery_pos_embed)
 from mgsv_tpu.models.clip_vit import ClipVisionTower, import_clip_visual_state_dict
+import pytest
+
+pytestmark = pytest.mark.torch_oracle
 
 
 def _rand(rng, *shape):
@@ -48,6 +51,7 @@ def _vit_block_torch(x, s, base, act):
     return x + h
 
 
+@pytest.mark.slow
 def test_ast_parity():
     rng = np.random.RandomState(0)
     d, depth, heads, label = 64, 2, 4, 10

@@ -15,6 +15,8 @@ import pytest
 from mgsv_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 from mgsv_tpu.data import synthetic
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():
@@ -179,6 +181,88 @@ def test_resume_restores_typed_opt_state_with_grad_accum(
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+class _PoisonedData:
+    """Delegates to an MgsvDataset but injects NaN features into the Nth
+    gathered train batch — the fault-injection hook for the NaN guard
+    (VERDICT r3 task 7)."""
+
+    def __init__(self, inner, poison_call):
+        self._inner = inner
+        self._poison = poison_call
+        self.calls = 0
+        self.index = inner.index
+        self.music_rows = inner.music_rows
+        self.video_store = inner.video_store
+        self.music_store = inner.music_store
+
+    def __len__(self):
+        return len(self._inner)
+
+    def num_batches(self, batch_size, drop_last=True):
+        return self._inner.num_batches(batch_size, drop_last)
+
+    def epoch_batches(self, *a, **k):
+        return self._inner.epoch_batches(*a, **k)
+
+    def gather(self, idx):
+        batch, meta = self._inner.gather(idx)
+        if self.calls == self._poison:
+            batch = dict(batch)
+            batch["frame_feats"] = np.full_like(batch["frame_feats"], np.nan)
+        self.calls += 1
+        return batch, meta
+
+
+# poison_call 3 = epoch 2 step 1 (caught by the sampled in-loop check);
+# poison_call 4 = epoch 2 step 2 (caught by the epoch-end full-coverage
+# check) — both NaN-guard paths must write the emergency checkpoint.
+@pytest.mark.parametrize("poison_call", [3, 4])
+def test_nan_guard_emergency_checkpoint_and_resume(
+        tiny_cfg, tiny_data, tmp_path, poison_call):
+    """Inject a NaN loss mid-run and assert the failure-detection subsystem
+    delivers its claim: loud abort, a resumable 'last' checkpoint whose
+    state is CLEAN (epoch-start snapshot — the live params have already been
+    through apply_gradients with NaN grads), and --train.resume continuing
+    from it.  The reference has no equivalent (SURVEY.md §5: resume exists
+    upstream, utils/util_train.py:38-60, but its train loop never calls it
+    and nothing guards against NaN)."""
+    import jax
+
+    from mgsv_tpu.train.loop import Trainer
+
+    steps_per_epoch = tiny_data.num_batches(16)
+    assert steps_per_epoch == 3
+    base = dataclasses.replace(
+        tiny_cfg.train, output_dir=str(tmp_path / f"nan{poison_call}"),
+        epochs=2)
+    cfg = dataclasses.replace(tiny_cfg, train=base)
+    t1 = Trainer(cfg, train_data=_PoisonedData(tiny_data, poison_call),
+                 val_data=None)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        t1.fit()
+
+    assert t1.ckpt.exists("last")
+    restored = t1.ckpt.restore("last")
+    assert restored["epoch"] == 1                       # epoch-2-start state
+    assert restored["step"] == steps_per_epoch
+    assert "opt_state" in restored
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(restored["params"]))
+    # the LIVE state is poisoned — which is exactly why the emergency
+    # checkpoint must come from the epoch-start snapshot
+    assert not all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(jax.device_get(t1.state.params)))
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(base, resume="last"))
+    t2 = Trainer(cfg2, train_data=tiny_data, val_data=None)
+    out = t2.fit()
+    assert [h["epoch"] for h in out["history"]] == [2]  # re-trains epoch 2
+    assert int(t2.state.step) == 2 * steps_per_epoch
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(jax.device_get(t2.state.params)))
+
+
 def test_eval_padding_excluded(tiny_cfg, tiny_data):
     """Eval with a batch size that does not divide the dataset: padded rows
     must not change metric counts."""
@@ -226,6 +310,17 @@ def test_eval_sharded_similarity_matches_single_device(tiny_cfg, tiny_data):
                          mesh=mesh)
     np.testing.assert_array_equal(base["ranks"], sharded20["ranks"])
     np.testing.assert_allclose(base["ious"], sharded20["ious"], atol=2e-2)
+
+    # 2D (dp=4, mp=2) mesh: the pooled corpus similarity blocks over BOTH
+    # axes (video rows over dp, the music catalog over mp —
+    # eval/similarity.xpool_similarity_mesh), so the mp axis carries real
+    # eval work (VERDICT r3 task 5); metrics must equal the 1D/single paths
+    mesh2d = make_mesh((4, 2))
+    sharded2d = evaluate(model, params, tiny_data, tiny_cfg, batch_size=16,
+                         mesh=mesh2d)
+    np.testing.assert_array_equal(base["ranks"], sharded2d["ranks"])
+    assert base["retrieval"] == sharded2d["retrieval"]
+    np.testing.assert_allclose(base["ious"], sharded2d["ious"], atol=2e-2)
 
 
 def test_predict_center_and_moment_loss_variants(tiny_cfg, tiny_data):

@@ -8,6 +8,8 @@ import pytest
 from mgsv_tpu.models.xpool import XPoolTransformer, sim_matrix_music_pooling
 from mgsv_tpu.ops.pallas.xpool_sim import xpool_sim_fused
 
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
 
 @pytest.mark.parametrize("vcount,m,s,d,bv,bm", [
     (16, 12, 8, 32, 8, 4),        # unaligned m -> padding path

@@ -19,6 +19,8 @@ from mgsv_tpu.models.xpool import (FusedXPoolSim, XPoolTransformer,
                                    sim_matrix_music_pooling)
 from mgsv_tpu.ops.losses import clip_loss
 
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
 
 def _data(v=12, m=20, s=16, d=32, seed=0):
     rng = np.random.RandomState(seed)
