@@ -38,6 +38,15 @@ import numpy as np
 logger = logging.getLogger("mgsv_tpu")
 
 
+class Overloaded(RuntimeError):
+    """Admission rejected: the batcher's pending-row budget is exhausted.
+
+    Raised synchronously by `query()` so clients shed load at the door
+    (HTTP maps it to 429 + Retry-After) instead of parking on an
+    ever-growing queue whose tail latency already exceeds any useful
+    deadline."""
+
+
 class MicroBatcher:
     """Coalesces concurrent query() calls into single engine dispatches.
 
@@ -50,7 +59,7 @@ class MicroBatcher:
     the previous dispatch runs."""
 
     def __init__(self, engine, max_batch: int = 32, max_wait_ms: float = 3.0,
-                 result_timeout_s: float = 900.0):
+                 result_timeout_s: float = 900.0, max_queue_rows: int = 1024):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
@@ -58,13 +67,30 @@ class MicroBatcher:
         # over a remote-TPU tunnel); the timeout exists so a dead loop
         # thread fails requests instead of hanging them forever
         self.result_timeout_s = result_timeout_s
+        # Admission control: rows admitted but not yet picked up by a
+        # dispatch.  When requests arrive faster than the engine drains
+        # them, an unbounded queue just converts overload into unbounded
+        # memory + tail latency; past the budget we REJECT synchronously
+        # (Overloaded -> HTTP 429) so callers back off.
+        self.max_queue_rows = max_queue_rows
         self.dispatches = 0          # observability + tests
+        self.rejected = 0
+        self._pending_rows = 0
+        self._admission = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
               top_k: int):
+        rows = int(frame_feats.shape[0]) if frame_feats.ndim >= 1 else 1
+        with self._admission:
+            if self._pending_rows + rows > self.max_queue_rows:
+                self.rejected += 1
+                raise Overloaded(
+                    f"queue full: {self._pending_rows} rows pending "
+                    f"(budget {self.max_queue_rows}); retry with backoff")
+            self._pending_rows += rows
         fut: Future = Future()
         self._q.put((frame_feats, frame_mask, int(top_k), fut))
         return fut.result(timeout=self.result_timeout_s)
@@ -84,6 +110,8 @@ class MicroBatcher:
                 break
             items.append(item)
             rows += item[0].shape[0]
+        with self._admission:
+            self._pending_rows -= rows
         return items
 
     def _validate(self, it):
@@ -169,6 +197,7 @@ def make_handler(engine, model_name: str):
                 "index_size": len(engine.index.music_ids),
                 "model": model_name,
                 "dispatches": batcher.dispatches,
+                "rejected": batcher.rejected,
             })
 
         def do_POST(self):
@@ -192,6 +221,15 @@ def make_handler(engine, model_name: str):
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
                 results = batcher.query(frame_feats, frame_mask, top_k=top_k)
+            except Overloaded as e:   # shed load at admission, not silently
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # surface engine errors as 500s
                 logger.exception("query failed")
                 return self._reply(500, {"error": str(e)})

