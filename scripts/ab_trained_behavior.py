@@ -294,6 +294,43 @@ def run_dropout_pair(a, seed: int, dataset, steps_per_epoch: int,
     return rm, om
 
 
+def welch_stats(per_seed, keys, rows):
+    """Welch t comparison per metric with a quantization-resolution floor.
+
+    Resolution = the smallest nonzero change one sample can make: R@k and
+    IoU@0.5 are percentages over `rows` samples (one rank/threshold flip =
+    100/rows points); MRR and mIoU are [0,1] means (one sample moves them
+    by at most 1/rows)."""
+    from scipy import stats as sps
+
+    resolution = {k: (1.0 / rows if k in ("MRR", "mIoU") else 100.0 / rows)
+                  for k in keys}
+    stats = {}
+    for k in keys:
+        rv = np.asarray([r[f"ref_{k}"] for r in per_seed])
+        ov = np.asarray([r[f"our_{k}"] for r in per_seed])
+        n_r, n_o = len(rv), len(ov)
+        vr, vo = rv.var(ddof=1) / n_r, ov.var(ddof=1) / n_o
+        se = float(np.sqrt(vr + vo))
+        if vr + vo > 0:
+            # Welch–Satterthwaite degrees of freedom
+            df = (vr + vo) ** 2 / (vr ** 2 / (n_r - 1) + vo ** 2 / (n_o - 1))
+            t95 = float(sps.t.ppf(0.975, df))
+        else:
+            df, t95 = float(n_r + n_o - 2), 0.0
+        gap = float(abs(rv.mean() - ov.mean()))
+        mde = max(t95 * se, resolution[k])
+        stats[k] = {
+            "ref_mean": float(rv.mean()), "ref_std": float(rv.std(ddof=1)),
+            "our_mean": float(ov.mean()), "our_std": float(ov.std(ddof=1)),
+            "gap": gap, "se": se, "welch_df": float(df), "t95": t95,
+            "ci95_halfwidth": float(t95 * se),
+            "resolution": resolution[k], "mde": float(mde),
+            "compatible": bool(gap <= mde),
+        }
+    return stats
+
+
 def main_dropout(a):
     """Dropout-ON distribution A/B over N seeds per side.
 
@@ -325,9 +362,6 @@ def main_dropout(a):
     shared = (model, tx, make_train_step(model, cfg0))
 
     keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
-    # quantization resolution: smallest nonzero change one sample can make
-    resolution = {k: (100.0 / a.rows if k in ("R1", "R5", "R10", "MRR")
-                      else 1.0 / a.rows) for k in keys}
     per_seed = []
     t0 = time.time()
     for i in range(a.ab_seeds):
@@ -341,37 +375,17 @@ def main_dropout(a):
         per_seed.append(rec)
         print(json.dumps(rec), flush=True)
 
-    from scipy import stats as sps
+    write_dropout_report(a, per_seed, keys, time.time() - t0)
 
-    stats = {}
-    for k in keys:
-        rv = np.asarray([r[f"ref_{k}"] for r in per_seed])
-        ov = np.asarray([r[f"our_{k}"] for r in per_seed])
-        n_r, n_o = len(rv), len(ov)
-        vr, vo = rv.var(ddof=1) / n_r, ov.var(ddof=1) / n_o
-        se = float(np.sqrt(vr + vo))
-        if vr + vo > 0:
-            # Welch–Satterthwaite degrees of freedom
-            df = (vr + vo) ** 2 / (vr ** 2 / (n_r - 1) + vo ** 2 / (n_o - 1))
-            t95 = float(sps.t.ppf(0.975, df))
-        else:
-            df, t95 = float(n_r + n_o - 2), 0.0
-        gap = float(abs(rv.mean() - ov.mean()))
-        mde = max(t95 * se, resolution[k])
-        stats[k] = {
-            "ref_mean": float(rv.mean()), "ref_std": float(rv.std(ddof=1)),
-            "our_mean": float(ov.mean()), "our_std": float(ov.std(ddof=1)),
-            "gap": gap, "se": se, "welch_df": float(df), "t95": t95,
-            "ci95_halfwidth": float(t95 * se),
-            "resolution": resolution[k], "mde": float(mde),
-            "compatible": bool(gap <= mde),
-        }
+
+def write_dropout_report(a, per_seed, keys, wall_s):
+    stats = welch_stats(per_seed, keys, a.rows)
     summary = {
-        "mode": "dropout_paper", "seeds": a.ab_seeds, "rows": a.rows,
+        "mode": "dropout_paper", "seeds": len(per_seed), "rows": a.rows,
         "epochs": a.epochs, "bs": a.bs,
         "family_size": a.family_size, "family_delta": a.family_delta,
         "all_compatible": all(s["compatible"] for s in stats.values()),
-        "wall_s": time.time() - t0,
+        "wall_s": wall_s,
     }
     with open(os.path.join(a.workdir, "ab_dropout_report.json"), "w") as f:
         json.dump({"summary": summary, "stats": stats,
@@ -393,11 +407,11 @@ def main_dropout(a):
         "variance is nonzero on both sides.  Compatibility per metric:",
         "|mean gap| <= MDE, where MDE = max(t95 x Welch combined SE,",
         "metric resolution).  The resolution floor is the measurement's own",
-        f"quantum at n={a.rows} rows — one sample changing rank moves R@k by",
-        f"{100.0 / a.rows:.3f} points and a [0,1] IoU metric by",
-        f"{1.0 / a.rows:.4f} — NOT a tolerance (the round-3 5%-absolute",
-        "floor is gone).  Final-epoch metric distributions over",
-        f"{a.ab_seeds} seeds per side:",
+        f"quantum at n={a.rows} rows — one sample flipping moves the",
+        f"percentage metrics (R@k, IoU@0.5) by {100.0 / a.rows:.3f} points",
+        f"and the [0,1] means (MRR, mIoU) by {1.0 / a.rows:.4f} — NOT a",
+        "tolerance (the round-3 5%-absolute floor is gone).  Final-epoch",
+        f"metric distributions over {len(per_seed)} seeds per side:",
         "",
         "| metric | reference (mean ± std) | ours (mean ± std) | gap "
         "| 95% CI ± | MDE | compatible |",
@@ -442,7 +456,20 @@ def main():
                    help="confusable tracks per family (dropout mode)")
     p.add_argument("--family-delta", type=float, default=0.25,
                    help="family separation; smaller = harder retrieval")
+    p.add_argument("--stats-from", type=str, default=None,
+                   help="recompute stats + report from an existing "
+                        "ab_dropout_report.json (no training)")
     a = p.parse_args()
+    if a.stats_from:
+        with open(a.stats_from) as f:
+            blob = json.load(f)
+        old = blob["summary"]
+        for k in ("rows", "epochs", "bs", "family_size", "family_delta"):
+            if k in old:
+                setattr(a, k, old[k])
+        keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
+        return write_dropout_report(a, blob["per_seed"], keys,
+                                    old.get("wall_s", 0.0))
     if a.dropout == "paper":
         return main_dropout(a)
 
