@@ -3,16 +3,37 @@
 The environment has no torchaudio/ffmpeg/soundfile; WAV decoding uses the
 stdlib `wave` module, and direct-video frame sampling (an extension beyond
 the reference's pre-extracted JPEG directories) uses OpenCV when present.
-Compressed audio (mp3/aac) raises with a clear message pointing at the
-packed-feature path.
+
+Compressed audio: the reference decodes arbitrary formats through
+torchaudio's ffmpeg backend (dataloader_MGSV_EC_rawdata.py:119); that
+dependency is a deployment choice, not model semantics, so here it is a
+PLUGGABLE hook — `register_audio_decoder(".mp3", fn)` routes any extension
+to a user-supplied `fn(path) -> (mono float32 waveform in [-1, 1], sr)`
+(wrap torchaudio/soundfile/ffmpeg where installed).  Without a registered
+decoder, compressed formats raise with a message pointing at the hook and
+the packed-feature path.
 """
 
 from __future__ import annotations
 
 import wave
-from typing import Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
+
+# extension (lowercase, with dot) -> decoder(path) -> (waveform, sr)
+_AUDIO_DECODERS: Dict[str, Callable[[str], Tuple[np.ndarray, int]]] = {}
+
+
+def register_audio_decoder(
+        ext: str, fn: Callable[[str], Tuple[np.ndarray, int]]) -> None:
+    """Route `load_audio` for `ext` (e.g. ".mp3") through `fn`.
+
+    `fn(path)` must return (mono float32 waveform in [-1, 1], sample_rate).
+    Registering ".wav" overrides the stdlib decoder too."""
+    if not ext.startswith("."):
+        ext = "." + ext
+    _AUDIO_DECODERS[ext.lower()] = fn
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -37,11 +58,23 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
-    if path.lower().endswith(".wav"):
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    fn = _AUDIO_DECODERS.get(ext)
+    if fn is not None:
+        wav, sr = fn(path)
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim == 2:               # [ch, n] or [n, ch] -> mono
+            wav = wav.mean(axis=0 if wav.shape[0] <= 8 else 1)
+        return wav, int(sr)
+    if ext == ".wav":
         return load_wav(path)
     raise RuntimeError(
         f"no decoder for {path!r} in this environment (no ffmpeg/torchaudio); "
-        "decode offline to WAV or use the packed feature store path")
+        "register one via mgsv_tpu.data.media.register_audio_decoder"
+        f"('{ext}', fn), decode offline to WAV, or use the packed feature "
+        "store path")
 
 
 def sample_video_frames(path: str, seconds: np.ndarray,

@@ -44,14 +44,17 @@ def main(bs: int = 512, steps: int = 20, warmup: int = 2):
     tx = make_optimizer(cfg, total_steps=10_000)
     state = create_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(model, cfg)
+    # Timing discipline from bench.py: on the remote-TPU platform
+    # block_until_ready returns before execution completes — every timed
+    # run must END WITH A SCALAR FETCH that the whole chain feeds.
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, log = train_step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+        float(log["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, log = train_step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+    float(log["loss"])  # every step chains into this fetch
     dt = (time.perf_counter() - t0) / steps
     print(json.dumps({
         "metric": "xla_only_train_clips_per_sec_bs512",

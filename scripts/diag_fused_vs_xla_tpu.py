@@ -23,14 +23,16 @@ def run(tag, **flags):
     tx = make_optimizer(cfg, total_steps=10_000)
     state = create_state(model, cfg, tx, jax.random.PRNGKey(0), batch)
     step = make_train_step(model, cfg)
+    # bench.py timing discipline: block_until_ready is unreliable on the
+    # remote platform — end the chained run with one scalar fetch.
     key = jax.random.PRNGKey(1)
     for _ in range(2):
         state, log = step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+        float(log["loss"])
     t0 = time.perf_counter()
     for _ in range(10):
         state, log = step(state, batch, key)
-    jax.block_until_ready(log["loss"])
+    float(log["loss"])
     dt = (time.perf_counter() - t0) / 10
     out = {"tag": tag, "ms": round(dt*1e3, 2),
            "loss": round(float(log["loss"]), 4),

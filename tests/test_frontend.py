@@ -136,6 +136,38 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(data, wav.astype(np.float32) / 32768.0, atol=1e-6)
 
 
+def test_audio_decoder_hook(tmp_path):
+    """Compressed-format decoding is a pluggable hook (the reference's
+    torchaudio/ffmpeg dependency, dataloader_MGSV_EC_rawdata.py:119, is a
+    deployment choice): register_audio_decoder routes load_audio by
+    extension, stereo output is downmixed, and an unregistered format
+    still fails loudly with a message naming the hook."""
+    import pytest
+
+    from mgsv_tpu.data.media import (_AUDIO_DECODERS, load_audio,
+                                     register_audio_decoder)
+
+    calls = []
+
+    def fake_mp3(path):
+        calls.append(path)
+        return np.stack([np.ones(100, np.float32),
+                         np.zeros(100, np.float32)]), 22050  # [ch, n] stereo
+
+    register_audio_decoder("mp3", fn=fake_mp3)   # no-dot form normalizes
+    try:
+        p = str(tmp_path / "track.MP3")          # case-insensitive ext
+        open(p, "wb").close()
+        wav, sr = load_audio(p)
+        assert calls == [p] and sr == 22050
+        np.testing.assert_allclose(wav, np.full(100, 0.5, np.float32))
+
+        with pytest.raises(RuntimeError, match="register_audio_decoder"):
+            load_audio(str(tmp_path / "x.aac"))
+    finally:
+        _AUDIO_DECODERS.pop(".mp3", None)
+
+
 def _parity_waveform(orig_sr):
     rng = np.random.RandomState(0)
     t = np.arange(int(orig_sr * 1.3)) / orig_sr
