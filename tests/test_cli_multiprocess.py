@@ -60,10 +60,10 @@ def _clean_env():
     return env
 
 
-def _run_single(out_dir: str) -> dict:
+def _run_single(out_dir: str, extra=()) -> dict:
     cmd = [sys.executable, "-m", "mgsv_tpu.cli.train",
            "--platform", "cpu", "--cpu-devices", "8",
-           *TINY, "--train.output_dir", out_dir]
+           *TINY, *extra, "--train.output_dir", out_dir]
     p = subprocess.run(cmd, cwd=REPO, env=_clean_env(), timeout=600,
                        capture_output=True, text=True)
     assert p.returncode == 0, p.stdout[-4000:] + p.stderr[-4000:]
@@ -71,7 +71,7 @@ def _run_single(out_dir: str) -> dict:
         return {"history": json.load(f)}
 
 
-def _run_multi(out_dir: str) -> dict:
+def _run_multi(out_dir: str, extra=()) -> dict:
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -79,7 +79,7 @@ def _run_multi(out_dir: str) -> dict:
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
              "--platform", "cpu", "--cpu-devices", "4",
-             *TINY, "--train.output_dir", out_dir],
+             *TINY, *extra, "--train.output_dir", out_dir],
             cwd=REPO, env=_clean_env(), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for pid in range(2)
@@ -141,4 +141,44 @@ def test_cli_train_coordinator_end_to_end(tmp_path):
     assert digests[0]["eval_R1"] == [r["eval"]["R1"] for r in sp_hist]
     np.testing.assert_allclose(
         digests[0]["eval_mIoU"], [r["eval"]["mIoU"] for r in sp_hist],
+        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_train_coordinator_resume(tmp_path):
+    """Checkpoint/resume across the process boundary: a 2-process run
+    stopped after epoch 1 and resumed from the collective 'last'
+    checkpoint (params + typed opt_state + step, orbax) finishes with the
+    same losses and metrics as an uninterrupted single-process 3-epoch run
+    on the same data and global mesh shape.  Constant LR so the schedule
+    horizon (total_steps derives from --train.epochs) doesn't differ
+    between the 1-epoch first leg and the uninterrupted run.  The
+    reference cannot do this at all: its resume helper exists but the
+    train loop never calls it (utils/util_train.py:38-60, SURVEY.md §5).
+    """
+    const = ["--train.scheduler", "constant"]
+
+    sp = _run_single(str(tmp_path / "single"),
+                     extra=[*const, "--train.epochs", "3"])
+    sp_hist = sp["history"]
+    assert [r["epoch"] for r in sp_hist] == [1, 2, 3]
+
+    mp_dir = str(tmp_path / "multi")
+    leg1 = _run_multi(mp_dir, extra=[*const, "--train.epochs", "1"])
+    assert len(leg1[0]["losses"]) == 1
+    assert os.path.isdir(os.path.join(mp_dir, "made", "ckpt_last"))
+
+    leg2 = _run_multi(mp_dir, extra=[*const, "--train.epochs", "3",
+                                     "--train.resume", "last"])
+    # resumed history merges the pre-resume epochs from history.json
+    assert len(leg2[0]["losses"]) == 3
+    assert leg2[0]["losses"] == leg2[1]["losses"]      # ranks still agree
+    assert leg2[0]["losses"][0] == leg1[0]["losses"][0]  # epoch 1 untouched
+
+    sp_losses = [r["train"]["loss"] for r in sp_hist]
+    np.testing.assert_allclose(leg2[0]["losses"], sp_losses,
+                               rtol=2e-4, atol=1e-5)
+    assert leg2[0]["eval_R1"][-1] == sp_hist[-1]["eval"]["R1"]
+    np.testing.assert_allclose(
+        leg2[0]["eval_mIoU"][-1], sp_hist[-1]["eval"]["mIoU"],
         rtol=1e-4, atol=1e-6)
