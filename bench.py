@@ -192,6 +192,14 @@ def main():
         record.update(step_efficiency(value))
     except Exception:  # efficiency fields are best-effort extras
         pass
+    if "device_kind" not in record:
+        # the floor check must NOT depend on the best-effort block above —
+        # if step_efficiency ever fails, the regression guard still fires
+        try:
+            import jax
+            record["device_kind"] = jax.devices()[0].device_kind
+        except Exception:  # pragma: no cover
+            pass
     floor = FLOORS_CLIPS_PER_SEC.get(record.get("device_kind", ""))
     if floor is not None and value < floor:
         record["regression_below_floor"] = floor

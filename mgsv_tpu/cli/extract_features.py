@@ -82,6 +82,22 @@ def _load_ast_params(path: str, dcfg):
     return enc, import_ast_state_dict(np_state, depth=depth)
 
 
+def _audio_path(root: str, mid: str) -> str:
+    """Resolve a track id to its on-disk audio file by extension, so
+    compressed formats reach the pluggable decoder hook
+    (data/media.py::register_audio_decoder) instead of a hardcoded .wav."""
+    import glob
+
+    wav = os.path.join(root, f"{mid}.wav")
+    if os.path.exists(wav):
+        return wav
+    hits = sorted(glob.glob(os.path.join(glob.escape(root),
+                                         glob.escape(mid) + ".*")))
+    if not hits:
+        raise FileNotFoundError(f"no audio file for track {mid!r} in {root}")
+    return hits[0]
+
+
 def extract(args, dcfg) -> None:
     from mgsv_tpu.data.audio import extract_snippets, resample_sinc
     from mgsv_tpu.data.csv_index import load_csv_index
@@ -127,7 +143,7 @@ def extract(args, dcfg) -> None:
         chunk = uniq_music[i:i + max(1, args.batch // 8)]
         specs, smask = [], []
         for mid in chunk:
-            wav, sr = load_audio(os.path.join(args.audio_root, f"{mid}.wav"))
+            wav, sr = load_audio(_audio_path(args.audio_root, mid))
             wav = resample_sinc(wav, sr, dcfg.sample_rate)
             sp, mk = extract_snippets(
                 wav, dcfg.sample_rate, dcfg.max_m_duration, dcfg.stride,
@@ -175,17 +191,24 @@ def main(argv=None):
     p.add_argument("--convert-from", default=None,
                    help="reference feature root (e.g. features/Kuai_feature)")
     p.add_argument("--batch", type=int, default=64)
-    args, rest = p.parse_known_args(argv)
     # shared flags: --platform/--cpu-devices (forced in-process before the
-    # backend exists) + --data.key [=]value geometry overrides, same parser
-    # as the train/evaluate/index CLIs
-    from mgsv_tpu.cli.train import parse_overrides
+    # backend exists) + --data.key [=]value geometry overrides.  Parsed
+    # HERE rather than via the train CLI's parser — routing through
+    # parse_overrides would silently swallow train-only flags (--synthetic,
+    # --config-json) and --coordinator would initialize jax.distributed.
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"])
+    p.add_argument("--cpu-devices", type=int, default=None)
+    args, rest = p.parse_known_args(argv)
+    from mgsv_tpu.cli.train import parse_kv_overrides
     from mgsv_tpu.config import Config
-    _, overrides = parse_overrides(rest)
+    from mgsv_tpu.core.platform import force_platform
+    force_platform(args.platform, args.cpu_devices)
+    overrides = parse_kv_overrides(rest)
     bad = [k for k in overrides if not k.startswith("data.")]
     if bad:
-        raise SystemExit(f"extract_features only takes --data.* overrides, "
-                         f"got {bad}")
+        raise SystemExit(f"extract_features only takes --data.* overrides "
+                         f"(plus --platform/--cpu-devices), got {bad}")
     dcfg = Config.from_overrides(overrides).data
     if args.convert_from:
         convert(args, dcfg)

@@ -52,6 +52,11 @@ def parse_overrides(argv):
     else:
         from mgsv_tpu.core.platform import force_platform
         force_platform(known.platform, known.cpu_devices)
+    return known, parse_kv_overrides(rest)
+
+
+def parse_kv_overrides(rest):
+    """`--section.key value` / `--section.key=value` pairs -> dict."""
     overrides = {}
     it = iter(rest)
     for key in it:
@@ -68,7 +73,7 @@ def parse_overrides(argv):
         except json.JSONDecodeError:
             value = raw
         overrides[key[2:]] = value
-    return known, overrides
+    return overrides
 
 
 def main(argv=None):

@@ -92,6 +92,23 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def to_host(x):
+    """Fetch a per-row device array to a host numpy copy on EVERY process.
+
+    Single-process: plain np.asarray.  Multi-process: the array may be a
+    non-addressable GLOBAL array (dp-sharded or replicated), so gather its
+    shards with process_allgather(tiled=True) — tiled means x already has
+    global shape (untiled stacking is for host-local per-process data).
+    Shared by Trainer epoch aggregation and the evaluator."""
+    import numpy as np
+
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def barrier(name: str = "barrier") -> None:
     """Cross-host sync point (the reference's torch.distributed.barrier,
     train-MaDe.py:634): a named psum_scalar over every global device via

@@ -216,8 +216,9 @@ class DeviceResidentData:
         if self.mesh is not None:
             dp = self.mesh.shape[DATA_AXIS]
             assert batch_size % dp == 0, (
-                f"batch_size {batch_size} must divide the dp axis {dp} "
-                "(the sharded gather deals each device batch_size/dp rows)")
+                f"batch_size {batch_size} must be divisible by the dp axis "
+                f"size {dp} (the sharded gather deals each device "
+                "batch_size/dp rows)")
         ix = self.index
         for idx, valid in epoch_index_batches(
                 len(self), batch_size, shuffle=shuffle, seed=seed,

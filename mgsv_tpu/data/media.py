@@ -65,8 +65,24 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
     if fn is not None:
         wav, sr = fn(path)
         wav = np.asarray(wav, np.float32)
-        if wav.ndim == 2:               # [ch, n] or [n, ch] -> mono
-            wav = wav.mean(axis=0 if wav.shape[0] <= 8 else 1)
+        if wav.ndim == 2:
+            # Convenience downmix for the unambiguous stereo layouts only
+            # ([ch<=2, n] or [n, ch<=2]); anything else (multi-channel rigs,
+            # tiny clips where either axis could be channels) must be
+            # downmixed by the decoder itself — guessing the channel axis
+            # wrong silently averages over TIME and feeds garbage onward.
+            ch_axis = int(np.argmin(wav.shape))
+            if wav.shape[ch_axis] <= 2 and wav.shape[1 - ch_axis] > 2:
+                wav = wav.mean(axis=ch_axis)
+            else:
+                raise ValueError(
+                    f"decoder for {ext!r} returned shape {wav.shape}; the "
+                    "hook contract is mono [n] (or unambiguous stereo) — "
+                    "downmix inside the decoder")
+        elif wav.ndim != 1:
+            raise ValueError(
+                f"decoder for {ext!r} returned rank-{wav.ndim} output; "
+                "the hook contract is a mono [n] waveform")
         return wav, int(sr)
     if ext == ".wav":
         return load_wav(path)

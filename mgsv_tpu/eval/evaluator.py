@@ -82,14 +82,7 @@ def evaluate(
     # process (process_allgather), and the corpus similarity then runs
     # host-fed per process — every process computes identical metrics.
     multiproc = jax.process_count() > 1
-    if multiproc:
-        from jax.experimental import multihost_utils
-        # tiled=True: eval-step outputs are GLOBAL dp-sharded arrays; gather
-        # the shards into the full [B, ...] value on every process
-        to_host = lambda x: np.asarray(
-            multihost_utils.process_allgather(x, tiled=True))
-    else:
-        to_host = np.asarray
+    from mgsv_tpu.core.dist import to_host  # allgather under multi-process
 
     shard = None
     if mesh is not None and mesh.devices.size > 1:

@@ -83,7 +83,16 @@ class MicroBatcher:
 
     def query(self, frame_feats: np.ndarray, frame_mask: np.ndarray,
               top_k: int):
-        rows = int(frame_feats.shape[0]) if frame_feats.ndim >= 1 else 1
+        # Rank check BEFORE admission: the row accounting below and
+        # _drain's shape[0] must agree on what a "row" is, and a garbage
+        # payload must not be able to kill the loop thread (a dead loop
+        # leaks _pending_rows and turns the server into permanent 429s).
+        # Full shape validation stays per-item in _validate.
+        frame_feats = np.asarray(frame_feats)
+        if frame_feats.ndim != 3:
+            raise ValueError(
+                f"frame_feats must be [B, L, D], got rank {frame_feats.ndim}")
+        rows = int(frame_feats.shape[0])
         with self._admission:
             if self._pending_rows + rows > self.max_queue_rows:
                 self.rejected += 1

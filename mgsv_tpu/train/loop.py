@@ -105,9 +105,13 @@ class Trainer:
         if use_dev_data:
             from mgsv_tpu.data.device_data import (DeviceResidentData,
                                                    dataset_device_bytes)
-            # multi-device meshes shard the resident tables over dp
-            # (data/device_data.py), so the HBM budget is per-device
-            dp = max(1, self.mesh.devices.size)
+            # multi-device meshes shard the resident tables over the dp
+            # AXIS ONLY (data/device_data.py uses P(DATA_AXIS); tables are
+            # replicated over mp), so the per-device budget divides by dp,
+            # not by the total device count — dividing by devices.size
+            # would under-estimate each device's footprint by the mp factor
+            from mgsv_tpu.core.mesh import DATA_AXIS
+            dp = max(1, self.mesh.shape.get(DATA_AXIS, 1))
             if (cfg.train.device_data == "on"
                     or dataset_device_bytes(train_data) // dp < 6 << 30):
                 res_mesh = self.mesh if self.mesh.devices.size > 1 else None
@@ -165,14 +169,10 @@ class Trainer:
 
     def _to_host(self, x) -> np.ndarray:
         """Fetch a per-row device array to host; multi-process arrays are
-        non-addressable and come back via a replicating allgather."""
-        if self.multiprocess:
-            from jax.experimental import multihost_utils
-            # tiled=True: x is a GLOBAL array (dp-sharded or replicated);
-            # gather its shards into the full value on every process
-            # (untiled stacking is for host-local per-process data)
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
+        non-addressable and come back via a replicating allgather
+        (core/dist.to_host, shared with the evaluator)."""
+        from mgsv_tpu.core import dist
+        return dist.to_host(x)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, example_batch: Dict[str, Any], seed: Optional[int] = None):

@@ -471,3 +471,31 @@ def test_micro_batcher_overload_sheds_and_recovers():
 
     # ---- recovery: after the burst drains, admission reopens
     assert batcher.query(ff, fm, top_k=1)[0]["music_ids"] == ["m0"]
+
+
+def test_micro_batcher_rejects_garbage_rank_at_admission():
+    """A malformed (wrong-rank) payload must fail ITS caller synchronously
+    WITHOUT being admitted: if it reached the queue, _drain's shape[0]
+    would disagree with the admission row count (or crash the loop thread),
+    leaking _pending_rows until the server 429s forever."""
+    import types
+
+    from mgsv_tpu.serve.server import MicroBatcher
+
+    engine = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            data=types.SimpleNamespace(vit_dim=8, max_v_frames=4)),
+        query=lambda feats, masks, top_k: [
+            {"music_ids": ["m0"][:top_k]} for _ in range(feats.shape[0])])
+    batcher = MicroBatcher(engine, max_wait_ms=1.0, result_timeout_s=30.0)
+
+    for garbage in (np.float32(1.0), np.zeros(4, np.float32),
+                    np.zeros((4, 8), np.float32)):
+        with pytest.raises(ValueError, match="rank"):
+            batcher.query(garbage, np.ones((1, 4), np.float32), top_k=1)
+    assert batcher._pending_rows == 0          # nothing leaked
+
+    # the loop thread never saw the garbage and still serves real queries
+    out = batcher.query(np.zeros((1, 4, 8), np.float32),
+                        np.ones((1, 4), np.float32), top_k=1)
+    assert out[0]["music_ids"] == ["m0"]
