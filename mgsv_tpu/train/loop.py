@@ -244,6 +244,19 @@ class Trainer:
                 sharding=mesh_lib.batch_sharding(self.mesh))
         for batch, _meta in iterator:
             profiler.step(steps)
+            if self.multiprocess and not getattr(self, "_mp_warmed", False):
+                # AOT-compile BEFORE the first dispatch, then align ranks:
+                # gloo's transport init has a hardcoded ~30 s connect
+                # deadline, and on loaded hosts concurrent jit compiles can
+                # skew ranks past it — the leading rank's first collective
+                # then dies with "Gloo context initialization failed".
+                # Compiling first (pure host work, no collective) and
+                # barriering via the coordination service bounds the skew
+                # at dispatch to the barrier's own sync.
+                self.train_step.lower(self.state, batch, rng).compile()
+                from mgsv_tpu.core import dist
+                dist.barrier("train-step-compiled")
+                self._mp_warmed = True
             self.state, log = self.train_step(self.state, batch, rng)
             steps += 1
             # Failure detection (absent upstream, SURVEY.md §5): a non-finite
