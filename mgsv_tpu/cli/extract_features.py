@@ -65,7 +65,8 @@ def _load_ast_params(path: str, dcfg):
     AST resolves to 768/12/12), input geometry from the data config."""
     import torch
 
-    from mgsv_tpu.models.ast import ASTEncoder, import_ast_state_dict
+    from mgsv_tpu.models.ast import (ASTEncoder, import_ast_state_dict,
+                                     patch_grid)
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
@@ -79,6 +80,21 @@ def _load_ast_params(path: str, dcfg):
     enc = ASTEncoder(embed_dim=embed_dim, depth=depth,
                      heads=max(1, embed_dim // 64), label_dim=label_dim,
                      input_fdim=dcfg.mel_bins, input_tdim=dcfg.target_length)
+    # The checkpoint's pos_embed grid is fixed while the encoder geometry
+    # comes from --data.* overrides; a disagreement would otherwise surface
+    # as an opaque broadcast-shape error deep inside apply.
+    f_dim, t_dim = patch_grid(enc.fstride, enc.tstride,
+                              dcfg.mel_bins, dcfg.target_length)
+    want = f_dim * t_dim + 2
+    have = stripped["v.pos_embed"].shape[1]
+    if have != want:
+        raise ValueError(
+            f"AST geometry mismatch: --data.mel_bins={dcfg.mel_bins} / "
+            f"--data.target_length={dcfg.target_length} imply a "
+            f"{f_dim}x{t_dim} patch grid ({want} pos-embed tokens incl. "
+            f"cls/dist), but the checkpoint {path!r} carries {have}; use the "
+            "geometry the checkpoint was trained at (reference default: "
+            "128 mel bins x 1024 frames -> 12x101 grid, 1214 tokens)")
     return enc, import_ast_state_dict(np_state, depth=depth)
 
 

@@ -215,10 +215,14 @@ class DeviceResidentData:
     ) -> Iterator[Tuple[Batch, BatchMeta]]:
         if self.mesh is not None:
             dp = self.mesh.shape[DATA_AXIS]
-            assert batch_size % dp == 0, (
-                f"batch_size {batch_size} must be divisible by the dp axis "
-                f"size {dp} (the sharded gather deals each device "
-                "batch_size/dp rows)")
+            if batch_size % dp != 0:
+                # user-reachable config error: must survive python -O (a bare
+                # assert would strip and fail later as an opaque shard_map
+                # shape error)
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the dp "
+                    f"axis size {dp} (the sharded gather deals each device "
+                    "batch_size/dp rows)")
         ix = self.index
         for idx, valid in epoch_index_batches(
                 len(self), batch_size, shuffle=shuffle, seed=seed,

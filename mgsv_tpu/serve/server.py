@@ -47,6 +47,13 @@ class Overloaded(RuntimeError):
     deadline."""
 
 
+class RequestTooLarge(ValueError):
+    """A single request exceeds the whole pending-row budget: retrying can
+    NEVER succeed (admission requires pending + rows <= budget even on an
+    idle server), so it must not ride the retryable 429 path — HTTP maps
+    it to 413."""
+
+
 class MicroBatcher:
     """Coalesces concurrent query() calls into single engine dispatches.
 
@@ -93,6 +100,12 @@ class MicroBatcher:
             raise ValueError(
                 f"frame_feats must be [B, L, D], got rank {frame_feats.ndim}")
         rows = int(frame_feats.shape[0])
+        if rows > self.max_queue_rows:
+            # distinct from Overloaded: no amount of backoff makes a
+            # request larger than the whole budget admissible
+            raise RequestTooLarge(
+                f"request has {rows} rows but the server's row budget is "
+                f"{self.max_queue_rows}; split the request")
         with self._admission:
             if self._pending_rows + rows > self.max_queue_rows:
                 self.rejected += 1
@@ -183,8 +196,8 @@ class MicroBatcher:
                         fut.set_exception(e)
 
 
-def make_handler(engine, model_name: str):
-    batcher = MicroBatcher(engine)
+def make_handler(engine, model_name: str, **batcher_kwargs):
+    batcher = MicroBatcher(engine, **batcher_kwargs)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -230,6 +243,8 @@ def make_handler(engine, model_name: str):
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
                 results = batcher.query(frame_feats, frame_mask, top_k=top_k)
+            except RequestTooLarge as e:   # unsatisfiable, not retryable
+                return self._reply(413, {"error": str(e)})
             except Overloaded as e:   # shed load at admission, not silently
                 self.send_response(429)
                 body = json.dumps({"error": str(e)}).encode()
@@ -239,6 +254,8 @@ def make_handler(engine, model_name: str):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            except ValueError as e:  # malformed payload (e.g. wrong rank)
+                return self._reply(400, {"error": f"bad request: {e}"})
             except Exception as e:  # surface engine errors as 500s
                 logger.exception("query failed")
                 return self._reply(500, {"error": str(e)})
@@ -253,9 +270,9 @@ class RetrievalServer:
     runs it on a daemon thread (tests/embedding)."""
 
     def __init__(self, engine, host: str = "0.0.0.0", port: int = 8008,
-                 model_name: str = "made"):
+                 model_name: str = "made", **batcher_kwargs):
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(engine, model_name))
+            (host, port), make_handler(engine, model_name, **batcher_kwargs))
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -83,6 +83,13 @@ class Trainer:
         run_dir: Optional[str] = None,
     ):
         self.cfg = cfg
+        # Persistent compilation cache here, not only in the CLI entry: the
+        # multi-process AOT-warmup in train_epoch relies on the post-barrier
+        # dispatch hitting this cache (the lower().compile() result is not
+        # jit's dispatch cache), so library users launching Trainer directly
+        # must get the same rank-skew bound as the CLI path.
+        from mgsv_tpu.core.cache import enable as _enable_cache
+        _enable_cache()
         self.train_data = train_data
         self.val_data = val_data
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(

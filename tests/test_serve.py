@@ -499,3 +499,67 @@ def test_micro_batcher_rejects_garbage_rank_at_admission():
     out = batcher.query(np.zeros((1, 4, 8), np.float32),
                         np.ones((1, 4), np.float32), top_k=1)
     assert out[0]["music_ids"] == ["m0"]
+
+
+def test_oversized_request_is_413_not_retryable_429(tmp_path):
+    """ADVICE r4: a single request larger than the whole pending-row budget
+    can NEVER be admitted (pending + rows <= budget fails even idle), so it
+    must get a distinct non-retryable error — RequestTooLarge at the
+    batcher, HTTP 413 at the server — instead of the 429 'retry with
+    backoff' path whose retries are guaranteed to fail.  Wrong-rank
+    payloads that reach query() map to 400, not 500."""
+    import http.client
+    import json
+    import types
+
+    from mgsv_tpu.serve.server import (MicroBatcher, Overloaded,
+                                       RequestTooLarge, RetrievalServer)
+
+    engine = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            data=types.SimpleNamespace(vit_dim=8, max_v_frames=4)),
+        query=lambda feats, masks, top_k: [
+            {"music_ids": ["m0"][:top_k]} for _ in range(feats.shape[0])],
+        index=types.SimpleNamespace(music_ids=["m0"]))
+
+    # batcher level: too-large is its own type, NOT Overloaded
+    batcher = MicroBatcher(engine, max_queue_rows=4, result_timeout_s=30.0)
+    with pytest.raises(RequestTooLarge):
+        batcher.query(np.zeros((5, 4, 8), np.float32),
+                      np.ones((5, 4), np.float32), top_k=1)
+    assert not issubclass(Overloaded, RequestTooLarge)
+    assert batcher._pending_rows == 0          # nothing leaked
+    # an in-budget request still works
+    out = batcher.query(np.zeros((1, 4, 8), np.float32),
+                        np.ones((1, 4), np.float32), top_k=1)
+    assert out[0]["music_ids"] == ["m0"]
+
+    # HTTP level: 413 for oversized, 400 for wrong-rank, then still healthy
+    server = RetrievalServer(engine, host="127.0.0.1", port=0,
+                             max_queue_rows=4,
+                             result_timeout_s=30.0).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        big = {"frame_feats": np.zeros((5, 4, 8)).tolist(),
+               "frame_mask": np.ones((5, 4)).tolist(), "top_k": 1}
+        conn.request("POST", "/query", body=json.dumps(big))
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "split" in json.loads(resp.read())["error"]
+
+        bad_rank = {"frame_feats": np.zeros((1, 1, 4, 8)).tolist(),
+                    "frame_mask": np.ones((1, 4)).tolist(), "top_k": 1}
+        conn.request("POST", "/query", body=json.dumps(bad_rank))
+        resp = conn.getresponse()
+        assert resp.status == 400               # client error, not 500
+        assert "rank" in json.loads(resp.read())["error"]
+
+        ok = {"frame_feats": np.zeros((1, 4, 8)).tolist(),
+              "frame_mask": np.ones((1, 4)).tolist(), "top_k": 1}
+        conn.request("POST", "/query", body=json.dumps(ok))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["results"][0]["music_ids"] == ["m0"]
+    finally:
+        server.stop()
