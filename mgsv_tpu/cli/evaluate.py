@@ -86,9 +86,23 @@ def main(argv=None):
     cfg = Config.from_overrides(overrides)
 
     import os.path as osp
+    from mgsv_tpu.core import dist
+    from mgsv_tpu.core import mesh as mesh_lib
     from mgsv_tpu.data.dataset import MgsvDataset
     from mgsv_tpu.eval.evaluator import evaluate
     from mgsv_tpu.models.made import MaDe
+
+    # Multi-process launch (the reference's test script itself runs under
+    # the launcher — test-MaDe.py:25 init_process_group): one log stream,
+    # primary-gated prints/writes, the global mesh plumbed into evaluate().
+    multiproc = dist.process_count() > 1
+    if multiproc and not dist.is_primary():
+        logging.getLogger().setLevel(logging.WARNING)
+
+    # Same mesh policy as the Trainer: all devices on dp unless configured.
+    mesh = mesh_lib.make_mesh(
+        cfg.train.mesh_shape if cfg.train.mesh_shape != (1, 1)
+        else (len(jax.devices()), 1))
 
     csv = cfg.data.test_csv if known.split == "test" else cfg.data.val_csv
     data = MgsvDataset.open(
@@ -96,20 +110,30 @@ def main(argv=None):
         osp.join(cfg.data.feature_root, "video_store"),
         osp.join(cfg.data.feature_root, "music_store"),
         cfg.data.max_m_duration)
-    # device residency (same policy as the Trainer): upload the stores once
-    # instead of shipping every eval batch from the host — essential for
-    # checkpoint sweeps, where the data is re-iterated per checkpoint
-    if (cfg.train.device_data != "off" and len(jax.devices()) == 1
-            and jax.default_backend() != "cpu"):
+    # Device residency — SAME policy as the Trainer (train/loop.py): "on"
+    # forces it, "auto" enables it on accelerator backends when the stores
+    # fit the per-device budget (dp-sharded tables divide by dp).  On
+    # multi-device meshes the resident tables dp-shard exactly like
+    # training — essential for checkpoint sweeps, which re-iterate the
+    # data once per checkpoint.
+    use_dev_data = (cfg.train.device_data == "on" or (
+        cfg.train.device_data == "auto"
+        and jax.default_backend() not in ("cpu",)))
+    if use_dev_data:
         from mgsv_tpu.data.device_data import (DeviceResidentData,
                                                dataset_device_bytes)
-        if dataset_device_bytes(data) < 6 << 30:
-            logging.info("device-resident dataset enabled")
-            data = DeviceResidentData(data)
+        dp = max(1, mesh.shape.get(mesh_lib.DATA_AXIS, 1))
+        if (cfg.train.device_data == "on"
+                or dataset_device_bytes(data) // dp < 6 << 30):
+            res_mesh = mesh if mesh.devices.size > 1 else None
+            logging.info("device-resident dataset enabled%s",
+                         f" (tables dp-sharded over {dp} devices)"
+                         if res_mesh is not None else "")
+            data = DeviceResidentData(data, mesh=res_mesh)
 
     import functools
 
-    model = MaDe(cfg)
+    model = MaDe(cfg, mesh=mesh if mesh.devices.size > 1 else None)
     batch, _ = next(iter(data.epoch_batches(cfg.train.batch_size_val,
                                             shuffle=False, drop_last=False)))
     init_params = jax.jit(functools.partial(model.init, deterministic=True))(
@@ -150,18 +174,23 @@ def main(argv=None):
                 # sweep mode: one file per checkpoint, tag-suffixed —
                 # a single path would silently export only the first tag
                 out = f"{out}.{os.path.basename(str(tag))}"
-            save_reference_checkpoint(params, cfg, out)
-            logging.info("exported %s -> %s (reference torch format)",
-                         tag, out)
+            if dist.is_primary():        # one writer per run
+                save_reference_checkpoint(params, cfg, out)
+                logging.info("exported %s -> %s (reference torch format)",
+                             tag, out)
             all_results[tag] = {"exported": out}
             continue
         res = evaluate(model, params, data, cfg, eval_step=shared_eval_step,
-                       use_fused_sim=known.fused_sim)
+                       mesh=mesh, use_fused_sim=known.fused_sim)
         summary = {**res["retrieval"], **res["localization"], **res["composite"]}
         summary.pop("cols", None)
         all_results[tag] = summary
-        print(tag, json.dumps(summary, indent=2, default=float))
-        if known.save_json:
+        # every process computes identical metrics (allgathered embeddings,
+        # replicated similarity); exactly ONE prints and writes — the
+        # reference's local_rank == 0 gating (test-MaDe.py, SURVEY.md §5)
+        if dist.is_primary():
+            print(tag, json.dumps(summary, indent=2, default=float))
+        if known.save_json and dist.is_primary():
             from mgsv_tpu.eval.metrics import save_results_json
             loc_results = [
                 dict(video_id=v, music_id=m, m_duration=float(d),
@@ -173,6 +202,16 @@ def main(argv=None):
             ]
             save_results_json(res["ret_results"], loc_results, res["ious"],
                               known.save_json, cfg.data.max_m_duration)
+    # one machine-parsable line per process (the multi-process CLI test
+    # asserts metrics are identical across ranks and vs single-process)
+    digest = {"process": jax.process_index(),
+              "results": {str(t): ({k: float(v) for k, v in r.items()}
+                                   if "exported" not in r else r)
+                          for t, r in all_results.items()}}
+    print("EVAL_RESULT " + json.dumps(digest, default=float), flush=True)
+    if multiproc:
+        # co-exit: non-primary processes wait for the primary's writes
+        dist.barrier("evaluate-end")
     return all_results
 
 

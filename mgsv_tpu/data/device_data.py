@@ -147,6 +147,12 @@ class DeviceResidentData:
         self.index = dataset.index
         self.mesh = (mesh if mesh is not None and mesh.devices.size > 1
                      else None)
+        if jax.process_count() > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-process device residency needs the global mesh: the "
+                "resident tables are global dp-sharded arrays (each process "
+                "uploads the rows its devices own), so a mesh spanning "
+                "every process's devices must be passed")
         n_v = len(dataset.video_store)
         n_m = len(dataset.music_store)
         all_v = np.arange(n_v)
@@ -227,7 +233,12 @@ class DeviceResidentData:
         for idx, valid in epoch_index_batches(
                 len(self), batch_size, shuffle=shuffle, seed=seed,
                 epoch=epoch, drop_last=drop_last):
-            batch = dict(self._gather(jnp.asarray(idx, jnp.int32)))
+            # idx stays a host numpy array into the jitted gather: an
+            # uncommitted input is placed by the program itself, which under
+            # a multi-process mesh means replicated over the GLOBAL mesh
+            # (a jnp.asarray here would commit it to this process's default
+            # device and clash with the global table arrays)
+            batch = dict(self._gather(np.asarray(idx, np.int32)))
             # integer track codes for the ignore_same_music InfoNCE branch
             # (host-side: [bs] ints are a trivial upload)
             batch["music_codes"] = np.unique(

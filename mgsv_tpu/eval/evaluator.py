@@ -126,19 +126,33 @@ def evaluate(
         order = np.arange(n)
         idx_all = (np.concatenate([order, np.repeat(order[-1:], pad)])
                    if pad else order)
-        chunks = jnp.asarray(idx_all.reshape(-1, batch_size), jnp.int32)
+        # host numpy in (uncommitted): under a multi-process mesh a local
+        # jnp.asarray would clash with the global table arrays
+        chunks = idx_all.reshape(-1, batch_size).astype(np.int32)
         ve, me, st, smk, io, ps, ls = _scan_program(
             eval_step, dataset.gather_fn)(params, dataset.tree, chunks)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        video_embs = flat(ve)[:n]                 # [N, D]
-        music_embs = flat(me)[:n]
-        seg_tokens = flat(st)[:n]                 # [N, S, D]
-        seg_masks = flat(smk)[:n]
-        ious = np.asarray(flat(io)[:n])
-        pred_spans = [np.asarray(flat(ps)[:n])]
+        if multiproc:
+            # Per-row outputs are non-addressable GLOBAL arrays; gather
+            # identical host copies on every process and fall through to
+            # the replicated host-fed similarity below (the proven
+            # multi-process eval path) — pod-scale corpus eval has its own
+            # sharded driver (eval/similarity.py / scripts/bench_corpus_*).
+            video_embs = to_host(flat(ve))[:n]
+            music_embs = to_host(flat(me))[:n]
+            seg_tokens = to_host(flat(st))[:n]
+            seg_masks = to_host(flat(smk))[:n]
+            on_device = False
+        else:
+            video_embs = flat(ve)[:n]             # [N, D]
+            music_embs = flat(me)[:n]
+            seg_tokens = flat(st)[:n]             # [N, S, D]
+            seg_masks = flat(smk)[:n]
+        ious = to_host(flat(io))[:n]
+        pred_spans = [to_host(flat(ps))[:n]]
         weights = np.full(chunks.shape[0], batch_size, np.int64)
         weights[-1] = batch_size - pad
-        losses = list(zip(np.asarray(ls).tolist(), weights.tolist()))
+        losses = list(zip(to_host(ls).tolist(), weights.tolist()))
         video_ids = list(ix.video_ids)
         music_ids = list(ix.music_ids)
     else:

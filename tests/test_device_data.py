@@ -139,7 +139,7 @@ def test_dp_sharded_batches_match_host_pipeline(tmp_path):
 
     # batch size not divisible by dp is rejected loudly
     import pytest
-    with pytest.raises(AssertionError, match="divisible by the dp axis"):
+    with pytest.raises(ValueError, match="divisible by the dp axis"):
         next(iter(dd.epoch_batches(6, shuffle=False)))
 
 
