@@ -114,6 +114,22 @@ def _audio_path(root: str, mid: str) -> str:
     return hits[0]
 
 
+def _shard_chunks(items, chunk_size: int, shard_index: int, num_shards: int):
+    """Contiguous CHUNK-aligned shard of a work list.
+
+    Sharding is by encode-batch chunks (not raw items) so every chunk a
+    shard encodes has exactly the same composition as in a single-process
+    run — the byte-identity guarantee of the 2-process extraction test
+    does not depend on batched-encoder numerics being batch-size
+    invariant.  Returns the shard's items, preserving global order.
+    """
+    chunks = [items[i:i + chunk_size]
+              for i in range(0, len(items), chunk_size)]
+    lo = shard_index * len(chunks) // num_shards
+    hi = (shard_index + 1) * len(chunks) // num_shards
+    return [x for c in chunks[lo:hi] for x in c]
+
+
 def extract(args, dcfg) -> None:
     from mgsv_tpu.data.audio import extract_snippets, resample_sinc
     from mgsv_tpu.data.csv_index import load_csv_index
@@ -128,15 +144,30 @@ def extract(args, dcfg) -> None:
     enc = FrozenEncoders(clip_params, ast_params, clip_tower=clip_tower,
                          ast_encoder=ast_enc)
 
+    # Rank-partitioned extraction (VERDICT r4 #6): each shard takes a
+    # contiguous chunk-aligned slice of the unique-id work lists and writes
+    # its own store tree under {out}/shard_{i}; `--merge-shards N` then
+    # concatenates them into stores byte-identical to a single-process run
+    # (the one-time 53k extraction drops from ~100 min on one host to
+    # ~100/N).  A pod launcher passes --shard-index $PROCESS_INDEX.
+    shards = max(1, args.num_shards)
+    shard = args.shard_index or 0
+    if not 0 <= shard < shards:
+        raise SystemExit(f"--shard-index {shard} out of range for "
+                         f"--num-shards {shards}")
+    out_root = (args.out if shards == 1
+                else os.path.join(args.out, f"shard_{shard}"))
+
     # ---- video frames (per-row CSV windows — get_clip_frame extracts
     # exactly [video_start, video_end], rawdata.py:41-92)
     window_of = {}
     for vid, s, e in zip(index.video_ids, index.video_start, index.video_end):
         window_of.setdefault(vid, (float(s), float(e)))
     uniq_videos = list(dict.fromkeys(index.video_ids))
+    my_videos = _shard_chunks(uniq_videos, args.batch, shard, shards)
     feats, masks = [], []
-    for i in range(0, len(uniq_videos), args.batch):
-        chunk = uniq_videos[i:i + args.batch]
+    for i in range(0, len(my_videos), args.batch):
+        chunk = my_videos[i:i + args.batch]
         frames, fmask = [], []
         for vid in chunk:
             start_s, end_s = window_of[vid]
@@ -147,16 +178,19 @@ def extract(args, dcfg) -> None:
         emb = np.asarray(enc.encode_frames(np.stack(frames)))
         feats.append(emb.astype(np.float16))
         masks.append(np.stack(fmask).astype(np.uint8))
-        logger.info("video %d/%d", i + len(chunk), len(uniq_videos))
-    PackedFeatureStore.build(
-        os.path.join(args.out, "video_store"), uniq_videos,
-        {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+        logger.info("video %d/%d", i + len(chunk), len(my_videos))
+    if my_videos:
+        PackedFeatureStore.build(
+            os.path.join(out_root, "video_store"), my_videos,
+            {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
 
     # ---- audio snippets
+    music_chunk = max(1, args.batch // 8)
     uniq_music = list(dict.fromkeys(index.music_ids))
+    my_music = _shard_chunks(uniq_music, music_chunk, shard, shards)
     feats, masks = [], []
-    for i in range(0, len(uniq_music), max(1, args.batch // 8)):
-        chunk = uniq_music[i:i + max(1, args.batch // 8)]
+    for i in range(0, len(my_music), music_chunk):
+        chunk = my_music[i:i + music_chunk]
         specs, smask = [], []
         for mid in chunk:
             wav, sr = load_audio(_audio_path(args.audio_root, mid))
@@ -169,10 +203,47 @@ def extract(args, dcfg) -> None:
         emb = np.asarray(enc.encode_snippets(np.stack(specs)))
         feats.append(emb.astype(np.float16))
         masks.append(np.stack(smask).astype(np.uint8))
-        logger.info("music %d/%d", i + len(chunk), len(uniq_music))
-    PackedFeatureStore.build(
-        os.path.join(args.out, "music_store"), uniq_music,
-        {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+        logger.info("music %d/%d", i + len(chunk), len(my_music))
+    if my_music:
+        PackedFeatureStore.build(
+            os.path.join(out_root, "music_store"), my_music,
+            {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+
+
+def merge_shards(args) -> None:
+    """Concatenate {out}/shard_{0..N-1} stores into {out}/{video,music}_store.
+
+    Shards hold contiguous chunk-aligned slices in global order, so plain
+    concatenation reproduces the single-process store byte-for-byte
+    (asserted by tests/test_cli_rawmedia.py's 2-shard extraction test).
+    A shard directory may lack a store entirely when there were fewer work
+    chunks than shards — skipped, not an error.
+    """
+    from mgsv_tpu.data.feature_store import PackedFeatureStore
+
+    for store_name in ("video_store", "music_store"):
+        ids, feats, masks = [], [], []
+        for k in range(args.merge_shards):
+            root = os.path.join(args.out, f"shard_{k}", store_name)
+            if not os.path.isdir(root):
+                continue
+            st = PackedFeatureStore(root, use_native=False)
+            rows = np.arange(len(st))
+            ids.extend(st.ids)
+            feats.append(st.gather("feats", rows, dtype=None))
+            masks.append(st.gather("mask", rows, dtype=None))
+        if not ids:
+            raise SystemExit(f"--merge-shards found no {store_name} under "
+                             f"{args.out}/shard_*")
+        if len(set(ids)) != len(ids):
+            raise SystemExit(f"duplicate ids across {store_name} shards — "
+                             "shards must come from the same CSV and "
+                             "disjoint --shard-index values")
+        PackedFeatureStore.build(
+            os.path.join(args.out, store_name), ids,
+            {"feats": np.concatenate(feats), "mask": np.concatenate(masks)})
+        logger.info("merged %d shard stores -> %s (%d ids)",
+                    args.merge_shards, store_name, len(ids))
 
 
 def convert(args, dcfg) -> None:
@@ -207,6 +278,17 @@ def main(argv=None):
     p.add_argument("--convert-from", default=None,
                    help="reference feature root (e.g. features/Kuai_feature)")
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="rank-partitioned extraction: this invocation "
+                        "processes 1/N of the work and writes to "
+                        "{out}/shard_{i} (see --shard-index)")
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="which shard this invocation is (a pod launcher "
+                        "passes its process index)")
+    p.add_argument("--merge-shards", type=int, default=0,
+                   help="merge {out}/shard_{0..N-1} stores into {out} "
+                        "(byte-identical to a single-process extraction) "
+                        "and exit")
     # shared flags: --platform/--cpu-devices (forced in-process before the
     # backend exists) + --data.key [=]value geometry overrides.  Parsed
     # HERE rather than via the train CLI's parser — routing through
@@ -226,7 +308,9 @@ def main(argv=None):
         raise SystemExit(f"extract_features only takes --data.* overrides "
                          f"(plus --platform/--cpu-devices), got {bad}")
     dcfg = Config.from_overrides(overrides).data
-    if args.convert_from:
+    if args.merge_shards:
+        merge_shards(args)
+    elif args.convert_from:
         convert(args, dcfg)
     else:
         if not all([args.frames_root, args.audio_root, args.clip_ckpt, args.ast_ckpt]):

@@ -281,6 +281,22 @@ class TrainConfig:
     profile: bool = False
     # Resume: checkpoint tag to restore before training (e.g. "last").
     resume: str = ""
+    # Step-granular, preemption-safe checkpointing: every N completed steps
+    # save {params, opt_state, step, epoch, step_in_epoch} as "last" (after
+    # verifying the loss window is finite — a poisoned state is never
+    # saved).  The seeded per-epoch permutation makes the batch stream
+    # replayable from (seed, epoch, offset), so resume fast-forwards the
+    # index stream and continues MID-epoch with a bit-identical trajectory;
+    # lost work on a kill is bounded by N steps (the reference is
+    # epoch-granular at best and its train loop never calls its own resume
+    # helper, utils/util_train.py:38-60).  0 = epoch-granular only.
+    checkpoint_every_steps: int = 0
+    # Fault injection for preemption tests: abort the run (Preempted is
+    # raised) once the GLOBAL optimizer step count reaches this value.
+    # 0 = off.  Checked after the step's periodic checkpoint, so an
+    # aligned abort dies right after a save — the worst case is an abort
+    # just before one (N-1 steps of lost work).
+    abort_at_step: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

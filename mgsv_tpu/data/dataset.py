@@ -31,7 +31,7 @@ class BatchMeta:
 
 def epoch_index_batches(
     n: int, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
-    drop_last: bool = True,
+    drop_last: bool = True, start_batch: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """The ONE batching contract every dataset front-end shares: seeded
     per-epoch permutation (the DistributedSampler.set_epoch equivalent,
@@ -39,12 +39,17 @@ def epoch_index_batches(
     repeat-last-row padding + validity mask for eval (metrics exclude
     padded rows).  Yields ([batch_size] int indices, [batch_size] bool
     valid).  MgsvDataset and DeviceResidentData both consume this, so the
-    host and device-resident paths cannot drift."""
+    host and device-resident paths cannot drift.
+
+    start_batch skips the first k batches of the (deterministic) epoch
+    stream — the fast-forward used by step-granular resume: the stream is
+    a pure function of (seed, epoch), so resuming at offset k replays
+    exactly the batches an uninterrupted run would have seen."""
     order = np.arange(n)
     if shuffle:
         order = np.random.RandomState(seed * 100003 + epoch).permutation(n)
     limit = (n // batch_size) * batch_size if drop_last else n
-    for start in range(0, limit, batch_size):
+    for start in range(start_batch * batch_size, limit, batch_size):
         idx = order[start:start + batch_size]
         valid = np.ones(len(idx), bool)
         if len(idx) < batch_size and not drop_last:
@@ -109,11 +114,11 @@ class MgsvDataset:
 
     def epoch_batches(
         self, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
-        drop_last: bool = True,
+        drop_last: bool = True, start_batch: int = 0,
     ) -> Iterator[Tuple[Batch, BatchMeta]]:
         for idx, valid in epoch_index_batches(
                 len(self), batch_size, shuffle=shuffle, seed=seed,
-                epoch=epoch, drop_last=drop_last):
+                epoch=epoch, drop_last=drop_last, start_batch=start_batch):
             batch, meta = self.gather(idx)
             meta.valid &= valid
             yield batch, meta

@@ -217,7 +217,7 @@ class DeviceResidentData:
 
     def epoch_batches(
         self, batch_size: int, *, shuffle: bool, seed: int = 0, epoch: int = 0,
-        drop_last: bool = True,
+        drop_last: bool = True, start_batch: int = 0,
     ) -> Iterator[Tuple[Batch, BatchMeta]]:
         if self.mesh is not None:
             dp = self.mesh.shape[DATA_AXIS]
@@ -232,7 +232,7 @@ class DeviceResidentData:
         ix = self.index
         for idx, valid in epoch_index_batches(
                 len(self), batch_size, shuffle=shuffle, seed=seed,
-                epoch=epoch, drop_last=drop_last):
+                epoch=epoch, drop_last=drop_last, start_batch=start_batch):
             # idx stays a host numpy array into the jitted gather: an
             # uncommitted input is placed by the program itself, which under
             # a multi-process mesh means replicated over the GLOBAL mesh

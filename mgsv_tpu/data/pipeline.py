@@ -87,6 +87,7 @@ def prefetch_epoch(
     drop_last: bool = True,
     sharding=None,
     depth: int = 2,
+    start_batch: int = 0,
 ) -> Iterator[Tuple[Batch, BatchMeta]]:
     """Iterate (device_batch, meta) with `depth` batches in flight."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -97,7 +98,8 @@ def prefetch_epoch(
         try:
             for idx, valid in epoch_index_batches(
                     len(dataset), batch_size, shuffle=shuffle, seed=seed,
-                    epoch=epoch, drop_last=drop_last):
+                    epoch=epoch, drop_last=drop_last,
+                    start_batch=start_batch):
                 if stop.is_set():
                     return
                 q.put(ship(idx, valid))

@@ -33,6 +33,14 @@ from mgsv_tpu.train.step import create_state, make_eval_step, make_train_step
 logger = logging.getLogger("mgsv_tpu")
 
 
+class Preempted(RuntimeError):
+    """Injected preemption (train.abort_at_step fault injection): the run
+    dies at an arbitrary step, exactly like a spot/maintenance kill.  The
+    preemption tests assert that resuming from the step-granular 'last'
+    checkpoint replays to a bit-identical final state with bounded lost
+    work (tests/test_train_integration.py)."""
+
+
 def _retype_like(live, restored):
     """Rebuild `restored` (an orbax-restored pure dict/list pytree) with the
     container types of `live` (the in-memory optax state).
@@ -166,16 +174,53 @@ class Trainer:
         Called when a non-finite loss is detected: the LIVE state has been
         through apply_gradients with NaN grads and is unusable, so the saved
         state is the clean one captured at the top of the epoch (resume
-        re-trains the failed epoch).  Exercised by
-        tests/test_train_integration.py fault-injection tests.
+        re-trains the failed epoch).  When step-granular checkpointing has
+        already written a VERIFIED-finite snapshot this epoch, that newer
+        save is the resume point and must NOT be overwritten with the older
+        epoch-start state.  Exercised by tests/test_train_integration.py
+        fault-injection tests.
         """
-        if self.ckpt is not None and getattr(self, "_epoch_start_state", None):
+        if self.ckpt is None:
+            return
+        if getattr(self, "_saved_in_epoch", 0):
+            self.ckpt.wait()
+            logger.error(
+                "non-finite loss in epoch %d — resume point is the "
+                "step-granular 'last' checkpoint (step_in_epoch %d, "
+                "verified finite at save time)", epoch, self._saved_in_epoch)
+            return
+        if getattr(self, "_epoch_start_state", None):
             self.ckpt.save("last", self._epoch_start_state)
             self.ckpt.wait()
             logger.error(
                 "non-finite loss in epoch %d — emergency 'last' checkpoint "
                 "written from the epoch-start state (step %d)",
                 epoch, self._epoch_start_state["step"])
+
+    def _periodic_save(self, epoch: int, steps: int, window) -> None:
+        """Step-granular 'last' checkpoint (train.checkpoint_every_steps):
+        {params, opt_state, step, epoch, step_in_epoch}, saved only after
+        verifying the loss window since the previous save is finite — a
+        poisoned state must never become the resume point (detection
+        latency and lost work are both bounded by N steps).  The host
+        fetch of the window forces a device sync, which is the price of
+        the verification."""
+        vals = np.asarray([float(x) for x in window])
+        if not np.isfinite(vals).all():
+            self._emergency_save(epoch)
+            bad = int(np.argmax(~np.isfinite(vals)))
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} step "
+                f"{steps - len(vals) + bad + 1}: {vals[bad]} (resumable "
+                "'last' checkpoint on disk; nothing poisoned was saved)")
+        self.ckpt.save("last", {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "step_in_epoch": steps,
+        })
+        self._saved_in_epoch = steps
 
     def _to_host(self, x) -> np.ndarray:
         """Fetch a per-row device array to host; multi-process arrays are
@@ -215,7 +260,12 @@ class Trainer:
         return self._tb or None
 
     # ------------------------------------------------------------------ train
-    def train_epoch(self, epoch: int) -> EpochStats:
+    def train_epoch(self, epoch: int, start_step: int = 0) -> EpochStats:
+        """One epoch; `start_step` > 0 resumes MID-epoch: the seeded batch
+        stream is fast-forwarded past the first `start_step` batches (the
+        permutation is a pure function of (seed, epoch), so the remaining
+        batches are exactly what an uninterrupted run would have seen) and
+        the epoch's stats cover only the steps actually run here."""
         cfg = self.cfg
         assert self.train_data is not None
         if self.state is None:
@@ -228,15 +278,23 @@ class Trainer:
         # loss has gone through apply_gradients the live params are poisoned,
         # so the emergency checkpoint must come from BEFORE the failure —
         # one host fetch per epoch buys a resumable epoch-boundary state.
+        self._saved_in_epoch = 0
         if self.ckpt is not None:
             self._epoch_start_state = {
                 "params": jax.device_get(self.state.params),
                 "opt_state": jax.device_get(self.state.opt_state),
                 "step": int(self.state.step), "epoch": epoch - 1,
             }
+            if start_step:
+                # mid-epoch resume: the snapshot IS the restored mid-epoch
+                # state — stamp it so a NaN right after resume goes back
+                # to exactly this point, not to a fictitious epoch start
+                self._epoch_start_state["epoch"] = epoch
+                self._epoch_start_state["step_in_epoch"] = start_step
         t0 = time.time()
         losses, ret_losses, loc_losses, ious = [], [], [], []
-        steps = 0
+        steps = start_step
+        every = cfg.train.checkpoint_every_steps
         from mgsv_tpu.core.profiling import StepProfiler
         from mgsv_tpu.data.pipeline import prefetch_epoch
         profiler = StepProfiler(self.run_dir,
@@ -246,11 +304,11 @@ class Trainer:
             # batches are assembled on device; no host pipeline needed
             iterator = self.train_data.epoch_batches(
                 cfg.train.batch_size_train, shuffle=True,
-                seed=cfg.train.seed, epoch=epoch)
+                seed=cfg.train.seed, epoch=epoch, start_batch=start_step)
         else:
             iterator = prefetch_epoch(
                 self.train_data, cfg.train.batch_size_train, shuffle=True,
-                seed=cfg.train.seed, epoch=epoch,
+                seed=cfg.train.seed, epoch=epoch, start_batch=start_step,
                 sharding=mesh_lib.batch_sharding(self.mesh))
         for batch, _meta in iterator:
             profiler.step(steps)
@@ -277,11 +335,19 @@ class Trainer:
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch} step {steps}: "
                     f"{ {k: float(v) for k, v in log.items() if np.ndim(v) == 0} }"
-                    " (resumable 'last' checkpoint saved from the epoch start)")
+                    " (resumable 'last' checkpoint on disk — the epoch-start"
+                    " state, or the newest verified step-granular save)")
             losses.append(log["loss"])
             ret_losses.append(log["retrieval_loss"])
             loc_losses.append(log["localization_loss"])
             ious.append(log["train_iou"])
+            if every and self.ckpt is not None and steps % every == 0:
+                self._periodic_save(epoch, steps, losses[-every:])
+            if (cfg.train.abort_at_step
+                    and int(self.state.step) >= cfg.train.abort_at_step):
+                raise Preempted(
+                    f"injected preemption at global step "
+                    f"{int(self.state.step)} (epoch {epoch} step {steps})")
             if steps % max(1, self.train_data.num_batches(
                     cfg.train.batch_size_train) // cfg.train.log_every) == 0:
                 logger.info(
@@ -309,17 +375,19 @@ class Trainer:
             bad = int(np.argmax(~np.isfinite(step_losses)))
             self._emergency_save(epoch)
             raise FloatingPointError(
-                f"non-finite loss at epoch {epoch} step {bad + 1}: "
-                f"{step_losses[bad]} (resumable 'last' checkpoint saved "
-                "from the epoch start)")
+                f"non-finite loss at epoch {epoch} step "
+                f"{start_step + bad + 1}: {step_losses[bad]} (resumable "
+                "'last' checkpoint on disk — the epoch-start state, or the "
+                "newest verified step-granular save)")
         loss = float(step_losses.mean())
         ret = float(np.mean([float(x) for x in ret_losses]))
         loc = float(np.mean([float(x) for x in loc_losses]))
         miou = float(np.mean(np.concatenate(
             [self._to_host(x) for x in ious])))
         dt = time.time() - t0
-        clips = steps * cfg.train.batch_size_train / dt if dt > 0 else 0.0
-        stats = EpochStats(loss, ret, loc, miou, dt, steps, clips)
+        ran = steps - start_step          # steps executed in THIS session
+        clips = ran * cfg.train.batch_size_train / dt if dt > 0 else 0.0
+        stats = EpochStats(loss, ret, loc, miou, dt, ran, clips)
         tb = self._tb_writer()
         if tb:
             tb.add_scalar("train/loss_epoch", loss, epoch)
@@ -349,9 +417,14 @@ class Trainer:
 
     # ----------------------------------------------------------------- resume
     def restore(self, tag: str = "last") -> int:
-        """Restore {params, opt_state, step, epoch} from a checkpoint.
+        """Restore {params, opt_state, step, epoch[, step_in_epoch]} from a
+        checkpoint.
 
-        Returns the epoch to resume from (saved epoch + 1).  The reference
+        Returns the epoch to resume from and sets `self.resume_step`: an
+        epoch-boundary checkpoint resumes fresh at saved epoch + 1
+        (resume_step 0); a step-granular one (step_in_epoch > 0, written by
+        train.checkpoint_every_steps) resumes the SAME epoch with the batch
+        stream fast-forwarded past the completed steps.  The reference
         wires resume for test only (utils/util_train.py:38-60, never called
         by the train loop); here it is a first-class trainer feature.
         """
@@ -376,6 +449,23 @@ class Trainer:
                 "checkpoint %s has no optimizer state; resuming with a fresh "
                 "optimizer", tag)
         self.state = self.state.replace(**replace)
+        self.resume_step = int(restored.get("step_in_epoch", 0) or 0)
+        if self.resume_step and self.train_data is not None:
+            per_epoch = self.train_data.num_batches(
+                self.cfg.train.batch_size_train)
+            if self.resume_step >= per_epoch:
+                # saved at/after the epoch's final step: nothing left to
+                # replay — resume fresh at the next epoch
+                self.resume_step = 0
+                logger.info("restored %s at step %d (epoch %d complete)",
+                            tag, int(restored["step"]),
+                            int(restored["epoch"]))
+                return int(restored["epoch"]) + 1
+        if self.resume_step:
+            logger.info("restored %s at step %d (epoch %d, mid-epoch at "
+                        "step %d)", tag, int(restored["step"]),
+                        int(restored["epoch"]), self.resume_step)
+            return int(restored["epoch"])
         logger.info("restored %s at step %d (epoch %d)", tag,
                     int(restored["step"]), int(restored["epoch"]))
         return int(restored["epoch"]) + 1
@@ -386,6 +476,7 @@ class Trainer:
         epochs = epochs or cfg.train.epochs
         history = []
         start_epoch = 1
+        resume_step = 0
         hist_path = os.path.join(self.run_dir, "history.json")
         if cfg.train.resume and self.ckpt:
             if not self.ckpt.exists(cfg.train.resume):
@@ -395,7 +486,9 @@ class Trainer:
                     f"checkpoint exists under {self.run_dir} — unset resume "
                     "to train from scratch")
             start_epoch = self.restore(cfg.train.resume)
-            # continue the run's history instead of overwriting it
+            resume_step = getattr(self, "resume_step", 0)
+            # continue the run's history instead of overwriting it (a
+            # mid-epoch resume redoes its in-progress epoch's record)
             if os.path.exists(hist_path):
                 with open(hist_path) as f:
                     history = [r for r in json.load(f)
@@ -407,7 +500,8 @@ class Trainer:
                         start_epoch, epochs)
             return {"history": history, "best": self.tracker.best}
         for epoch in range(start_epoch, epochs + 1):
-            stats = self.train_epoch(epoch)
+            stats = self.train_epoch(
+                epoch, start_step=resume_step if epoch == start_epoch else 0)
             record: Dict[str, Any] = {"epoch": epoch,
                                       "train": dataclasses.asdict(stats)}
             if self.val_data is not None:
@@ -429,7 +523,25 @@ class Trainer:
                     "step": int(self.state.step),
                     "epoch": epoch,
                 })
+            if self.ckpt and cfg.train.checkpoint_every_steps:
+                # epoch-boundary 'last' (no step_in_epoch): with periodic
+                # saving on, the newest on-disk state must never lag a full
+                # epoch behind — and it supersedes any mid-epoch save from
+                # this epoch so resume never replays completed work
+                self.ckpt.save("last", {
+                    "params": jax.device_get(self.state.params),
+                    "opt_state": jax.device_get(self.state.opt_state),
+                    "step": int(self.state.step),
+                    "epoch": epoch,
+                })
             history.append(record)
+            from mgsv_tpu.core import dist
+            if dist.is_primary():
+                # write-through after EVERY epoch: a preemption mid-run must
+                # not lose the completed epochs' records (the resume path
+                # reloads them from this file)
+                with open(hist_path, "w") as f:
+                    json.dump(history, f, indent=2, default=float)
             # Early stop (train-MaDe.py:735-736) — only meaningful when a
             # validation metric is being tracked.
             if self.val_data is not None and self.tracker.should_stop(

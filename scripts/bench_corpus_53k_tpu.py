@@ -209,6 +209,7 @@ def main():
     results["R1_iou0.5_random_features"] = com["R1_iou0.5"]
 
     print(json.dumps(results))
+    return results
 
 
 if __name__ == "__main__":

@@ -121,6 +121,7 @@ def main():
     results["concurrent_dispatches"] = batcher.dispatches - d0
 
     print(json.dumps(results))
+    return results
 
 
 if __name__ == "__main__":
