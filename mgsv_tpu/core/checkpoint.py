@@ -9,10 +9,14 @@ sync path.
 
 from __future__ import annotations
 
+import logging
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger("mgsv_tpu")
 
 
 class CheckpointManager:
@@ -35,17 +39,54 @@ class CheckpointManager:
         (train-MaDe.py:707-727) — and runs its own cross-process barriers;
         a primary-only gate here would deadlock rank 0 inside that barrier
         (observed: orbax save hang under the 2-process CLI launch).
+
+        The "last" tag — the ONLY resume point, rewritten every
+        checkpoint_every_steps — is rotated crash-atomically: orbax's
+        `force=True` deletes the existing directory before the tmp-dir
+        rename that commits the new one, so a SIGKILL inside that window
+        would destroy the previous resume point before the replacement
+        exists.  Instead the committed "last" is renamed (atomic) to
+        `ckpt_last.prev` and the new save commits under the primary name
+        with no deletion in between; restore/exists fall back to `.prev`.
+        At every instant of a kill there is a complete resume point on
+        disk once the first save has committed.
         """
         path = self._path(tag)
-        self._ckptr.save(path, state, force=True)
+        if tag == "last" and os.path.isdir(path):
+            from mgsv_tpu.core import dist
+            # join the previous async save first so `path` is a COMMITTED
+            # checkpoint when rotated (orbax's async save would join it
+            # anyway before starting this one)
+            self._ckptr.wait_until_finished()
+            if dist.is_primary():
+                prev = path + ".prev"
+                if os.path.isdir(prev):
+                    shutil.rmtree(prev)
+                os.rename(path, prev)
+            # force=True: nothing left at `path` on the primary (just
+            # renamed away), and it stops a non-primary rank that reaches
+            # orbax's exists-check before the rename from raising
+            self._ckptr.save(path, state, force=True)
+        else:
+            self._ckptr.save(path, state, force=True)
+        return path
+
+    def _resolve(self, tag: str) -> str:
+        path = self._path(tag)
+        if not os.path.isdir(path) and os.path.isdir(path + ".prev"):
+            logger.warning(
+                "checkpoint %s is missing but its rotation backup exists — "
+                "a kill landed between rotation and commit; restoring "
+                "%s.prev (one save interval older)", path, path)
+            return path + ".prev"
         return path
 
     def restore(self, tag: str, target: Optional[Dict[str, Any]] = None):
         self._ckptr.wait_until_finished()
-        return self._ckptr.restore(self._path(tag), target=target)
+        return self._ckptr.restore(self._resolve(tag), target=target)
 
     def exists(self, tag: str) -> bool:
-        return os.path.isdir(self._path(tag))
+        return os.path.isdir(self._resolve(tag))
 
     def wait(self):
         self._ckptr.wait_until_finished()

@@ -379,13 +379,18 @@ class Trainer:
                 f"{start_step + bad + 1}: {step_losses[bad]} (resumable "
                 "'last' checkpoint on disk — the epoch-start state, or the "
                 "newest verified step-granular save)")
-        loss = float(step_losses.mean())
-        ret = float(np.mean([float(x) for x in ret_losses]))
-        loc = float(np.mean([float(x) for x in loc_losses]))
-        miou = float(np.mean(np.concatenate(
-            [self._to_host(x) for x in ious])))
         dt = time.time() - t0
         ran = steps - start_step          # steps executed in THIS session
+        if ran:
+            loss = float(step_losses.mean())
+            ret = float(np.mean([float(x) for x in ret_losses]))
+            loc = float(np.mean([float(x) for x in loc_losses]))
+            miou = float(np.mean(np.concatenate(
+                [self._to_host(x) for x in ious])))
+        else:
+            # eval-only replay (restore found the epoch train-complete but
+            # unrecorded): no steps ran, so there are no train stats
+            loss = ret = loc = miou = float("nan")
         clips = ran * cfg.train.batch_size_train / dt if dt > 0 else 0.0
         stats = EpochStats(loss, ret, loc, miou, dt, ran, clips)
         tb = self._tb_writer()
@@ -416,6 +421,16 @@ class Trainer:
         return res
 
     # ----------------------------------------------------------------- resume
+    def _history_has_epoch(self, epoch: int) -> bool:
+        """Whether the run's history.json already records `epoch` — i.e. the
+        epoch's eval + write-through completed before a kill.  The file is
+        written atomically (tmp + rename) so a partial read is impossible."""
+        try:
+            with open(os.path.join(self.run_dir, "history.json")) as f:
+                return any(int(r["epoch"]) == int(epoch) for r in json.load(f))
+        except (OSError, ValueError, KeyError):
+            return False
+
     def restore(self, tag: str = "last") -> int:
         """Restore {params, opt_state, step, epoch[, step_in_epoch]} from a
         checkpoint.
@@ -450,17 +465,41 @@ class Trainer:
                 "optimizer", tag)
         self.state = self.state.replace(**replace)
         self.resume_step = int(restored.get("step_in_epoch", 0) or 0)
+        saved_epoch = int(restored["epoch"])
         if self.resume_step and self.train_data is not None:
             per_epoch = self.train_data.num_batches(
                 self.cfg.train.batch_size_train)
             if self.resume_step >= per_epoch:
-                # saved at/after the epoch's final step: nothing left to
-                # replay — resume fresh at the next epoch
-                self.resume_step = 0
-                logger.info("restored %s at step %d (epoch %d complete)",
-                            tag, int(restored["step"]),
-                            int(restored["epoch"]))
-                return int(restored["epoch"]) + 1
+                # saved at/after the epoch's final step: no train work left
+                # in it — but only skip to the next epoch if the epoch's
+                # eval/history record actually landed before the kill
+                # (eval runs after the final periodic save; a kill during
+                # it would otherwise silently drop that epoch's record)
+                if self._history_has_epoch(saved_epoch):
+                    self.resume_step = 0
+                    logger.info("restored %s at step %d (epoch %d complete)",
+                                tag, int(restored["step"]), saved_epoch)
+                    return saved_epoch + 1
+                self.resume_step = per_epoch
+                logger.info(
+                    "restored %s at step %d: epoch %d train-complete but "
+                    "its record never landed (killed during eval?) — "
+                    "replaying eval only", tag, int(restored["step"]),
+                    saved_epoch)
+                return saved_epoch
+        if (not self.resume_step and saved_epoch >= 1
+                and self.train_data is not None
+                and not self._history_has_epoch(saved_epoch)):
+            # epoch-boundary checkpoint whose epoch has no history record:
+            # same kill window as above — redo the eval/record, not the
+            # (already applied) train steps
+            self.resume_step = self.train_data.num_batches(
+                self.cfg.train.batch_size_train)
+            logger.info(
+                "restored %s at step %d: epoch %d checkpointed but its "
+                "record never landed — replaying eval only", tag,
+                int(restored["step"]), saved_epoch)
+            return saved_epoch
         if self.resume_step:
             logger.info("restored %s at step %d (epoch %d, mid-epoch at "
                         "step %d)", tag, int(restored["step"]),
@@ -539,9 +578,11 @@ class Trainer:
             if dist.is_primary():
                 # write-through after EVERY epoch: a preemption mid-run must
                 # not lose the completed epochs' records (the resume path
-                # reloads them from this file)
-                with open(hist_path, "w") as f:
+                # reloads them from this file) — via tmp + rename so a kill
+                # mid-write can't leave a truncated file resume can't parse
+                with open(hist_path + ".tmp", "w") as f:
                     json.dump(history, f, indent=2, default=float)
+                os.replace(hist_path + ".tmp", hist_path)
             # Early stop (train-MaDe.py:735-736) — only meaningful when a
             # validation metric is being tracked.
             if self.val_data is not None and self.tracker.should_stop(
@@ -551,8 +592,9 @@ class Trainer:
                 break
         from mgsv_tpu.core import dist
         if dist.is_primary():
-            with open(os.path.join(self.run_dir, "history.json"), "w") as f:
+            with open(hist_path + ".tmp", "w") as f:
                 json.dump(history, f, indent=2, default=float)
+            os.replace(hist_path + ".tmp", hist_path)
         if self.ckpt:
             # "last" carries the optimizer state so training can resume.
             self.ckpt.save("last", {
