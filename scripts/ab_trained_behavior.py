@@ -283,27 +283,47 @@ def run_dropout_pair(a, seed: int, dataset, steps_per_epoch: int,
     sched = WarmupCosineSchedule(opt, warmup_steps=warmup_steps,
                                  t_total=total_steps)
     torch.manual_seed(seed + 10_000)         # the reference's mask stream
+    # Averaging the metrics over the last K epochs (eval_last_k) cuts the
+    # dominant variance term — final-epoch snapshot oscillation — WITHOUT
+    # touching training: both eval paths are deterministic and consume no
+    # training RNG (torch modules are in eval() mode so dropout draws
+    # nothing; our eval threads no PRNG), so K=1 is bit-identical to the
+    # historical single-eval behavior and any K leaves the per-epoch
+    # parameter trajectory unchanged.
+    eval_k = max(1, int(getattr(a, "eval_last_k", 1) or 1))
+    rms, oms = [], []
     for epoch in range(1, a.epochs + 1):
         rng = jax.random.PRNGKey(seed + 977 * epoch)
         for batch, _meta in dataset.epoch_batches(
                 a.bs, shuffle=True, seed=seed, epoch=epoch):
             torch_train_step(ref, args, opt, sched, batch)
             state, _ = train_step(state, batch, rng)
-    rm = torch_eval(ref, args, dataset, a.bs)
-    om = our_eval(model, state.params, dataset, cfg, a.bs)
+        if epoch > a.epochs - eval_k:
+            rms.append(torch_eval(ref, args, dataset, a.bs))
+            oms.append(our_eval(model, state.params, dataset, cfg, a.bs))
+    rm = {k: float(np.mean([m[k] for m in rms])) for k in rms[0]}
+    om = {k: float(np.mean([m[k] for m in oms])) for k in oms[0]}
+    if eval_k > 1:
+        # per-epoch detail rides along for variance decomposition
+        # (snapshot oscillation vs run-level trajectory)
+        rm["per_epoch"] = {k: [float(m[k]) for m in rms] for k in rms[0]}
+        om["per_epoch"] = {k: [float(m[k]) for m in oms] for k in oms[0]}
     return rm, om
 
 
-def welch_stats(per_seed, keys, rows):
+def welch_stats(per_seed, keys, rows, avg_k: int = 1):
     """Welch t comparison per metric with a quantization-resolution floor.
 
     Resolution = the smallest nonzero change one sample can make: R@k and
     IoU@0.5 are percentages over `rows` samples (one rank/threshold flip =
     100/rows points); MRR and mIoU are [0,1] means (one sample moves them
-    by at most 1/rows)."""
+    by at most 1/rows).  When each reported value is the mean of `avg_k`
+    per-epoch evals, one sample flipping in one eval moves the average by
+    1/avg_k of that, so the quantum shrinks accordingly."""
     from scipy import stats as sps
 
     resolution = {k: (1.0 / rows if k in ("MRR", "mIoU") else 100.0 / rows)
+                  / max(1, avg_k)
                   for k in keys}
     stats = {}
     for k in keys:
@@ -362,16 +382,47 @@ def main_dropout(a):
     shared = (model, tx, make_train_step(model, cfg0))
 
     keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
+    # Each (seed, config) pair is fully deterministic (verified: re-runs are
+    # bitwise-identical), so an interrupted sweep can reuse completed pairs
+    # from a prior run.log's JSON lines instead of retraining them.
+    done = {}
+    if a.resume_from and os.path.exists(a.resume_from):
+        with open(a.resume_from) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (
+                    "seed" in rec and f"ref_{keys[0]}" in rec
+                    # a record is only reusable if it was measured the same
+                    # way: K=1 (legacy records carry no marker) vs K-epoch
+                    # averaged values are different estimators
+                    and int(rec.get("eval_last_k", 1)) == a.eval_last_k
+                ):
+                    done[int(rec["seed"])] = rec
+        print(f"# resume: reusing {len(done)} completed seed pairs from "
+              f"{a.resume_from}", flush=True)
     per_seed = []
     t0 = time.time()
     for i in range(a.ab_seeds):
         seed = 1000 + 13 * i
+        if seed in done:
+            per_seed.append(done[seed])
+            print(json.dumps(done[seed]), flush=True)
+            continue
         rm, om = run_dropout_pair(a, seed, dataset, steps_per_epoch,
                                   shared=shared)
-        rec = {"seed": seed}
+        rec = {"seed": seed, "eval_last_k": a.eval_last_k}
         for k in keys:
             rec[f"ref_{k}"] = float(rm[k])
             rec[f"our_{k}"] = float(om[k])
+        if "per_epoch" in rm:
+            rec["ref_per_epoch"] = {k: rm["per_epoch"][k] for k in keys}
+            rec["our_per_epoch"] = {k: om["per_epoch"][k] for k in keys}
         per_seed.append(rec)
         print(json.dumps(rec), flush=True)
 
@@ -379,10 +430,10 @@ def main_dropout(a):
 
 
 def write_dropout_report(a, per_seed, keys, wall_s):
-    stats = welch_stats(per_seed, keys, a.rows)
+    stats = welch_stats(per_seed, keys, a.rows, avg_k=a.eval_last_k)
     summary = {
         "mode": "dropout_paper", "seeds": len(per_seed), "rows": a.rows,
-        "epochs": a.epochs, "bs": a.bs,
+        "epochs": a.epochs, "bs": a.bs, "eval_last_k": a.eval_last_k,
         "family_size": a.family_size, "family_delta": a.family_delta,
         "all_compatible": all(s["compatible"] for s in stats.values()),
         "wall_s": wall_s,
@@ -398,7 +449,7 @@ def write_dropout_report(a, per_seed, keys, wall_s):
         f"Generated {time.strftime('%Y-%m-%d')} by `scripts/ab_trained_behavior.py "
         f"--dropout paper --ab-seeds {a.ab_seeds} --epochs {a.epochs} "
         f"--rows {a.rows} --bs {a.bs} --family-size {a.family_size} "
-        f"--family-delta {a.family_delta}`.",
+        f"--family-delta {a.family_delta} --eval-last-k {a.eval_last_k}`.",
         "",
         "Both sides train with the PAPER dropout rates active (temporal 0.8,",
         "X-Pool 0.3, DETR 0.1) from a shared per-seed torch init, each with",
@@ -409,8 +460,13 @@ def write_dropout_report(a, per_seed, keys, wall_s):
         "metric resolution).  The resolution floor is the measurement's own",
         f"quantum at n={a.rows} rows — one sample flipping moves the",
         f"percentage metrics (R@k, IoU@0.5) by {100.0 / a.rows:.3f} points",
-        f"and the [0,1] means (MRR, mIoU) by {1.0 / a.rows:.4f} — NOT a",
-        "tolerance (the round-3 5%-absolute floor is gone).  Final-epoch",
+        f"and the [0,1] means (MRR, mIoU) by {1.0 / a.rows:.4f}",
+        (f"(further /{a.eval_last_k} for the {a.eval_last_k}-epoch "
+         "average)" if a.eval_last_k > 1 else "") +
+        "— NOT a",
+        "tolerance (the round-3 5%-absolute floor is gone).  "
+        + (f"Last-{a.eval_last_k}-epoch-averaged"
+           if a.eval_last_k > 1 else "Final-epoch"),
         f"metric distributions over {len(per_seed)} seeds per side:",
         "",
         "| metric | reference (mean ± std) | ours (mean ± std) | gap "
@@ -456,6 +512,15 @@ def main():
                    help="confusable tracks per family (dropout mode)")
     p.add_argument("--family-delta", type=float, default=0.25,
                    help="family separation; smaller = harder retrieval")
+    p.add_argument("--eval-last-k", type=int, default=1,
+                   help="average each side's metrics over evals at the "
+                        "last K epochs (dropout mode); cuts final-epoch "
+                        "snapshot variance without touching training — "
+                        "both eval paths consume no training RNG")
+    p.add_argument("--resume-from", type=str, default=None,
+                   help="prior run.log / JSONL with per-seed records; "
+                        "seeds already present are reused, not retrained "
+                        "(valid because each pair is deterministic)")
     p.add_argument("--stats-from", type=str, default=None,
                    help="recompute stats + report from an existing "
                         "ab_dropout_report.json (no training)")
@@ -464,7 +529,8 @@ def main():
         with open(a.stats_from) as f:
             blob = json.load(f)
         old = blob["summary"]
-        for k in ("rows", "epochs", "bs", "family_size", "family_delta"):
+        for k in ("rows", "epochs", "bs", "family_size", "family_delta",
+                  "eval_last_k"):
             if k in old:
                 setattr(a, k, old[k])
         keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
