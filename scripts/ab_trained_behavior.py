@@ -429,6 +429,52 @@ def main_dropout(a):
     write_dropout_report(a, per_seed, keys, time.time() - t0)
 
 
+def reaverage_per_seed(per_seed, keys, k: int):
+    """Rebuild each record's headline metrics as the mean of the last `k`
+    per-epoch evals (requires per-epoch detail in the records).  Valid for
+    any k <= the recorded window because the per-epoch values ARE the
+    measurements; the average is just a different (lower-variance)
+    estimator over the same data."""
+    out = []
+    for rec in per_seed:
+        new = {"seed": rec["seed"], "eval_last_k": k}
+        for m in keys:
+            for side in ("ref", "our"):
+                pe = rec[f"{side}_per_epoch"][m]
+                if k > len(pe):
+                    raise ValueError(
+                        f"records carry only {len(pe)} per-epoch evals; "
+                        f"cannot average the last {k}")
+                new[f"{side}_{m}"] = float(np.mean(pe[-k:]))
+        new["ref_per_epoch"] = rec["ref_per_epoch"]
+        new["our_per_epoch"] = rec["our_per_epoch"]
+        out.append(new)
+    return out
+
+
+def select_k(per_seed, keys, max_k: int):
+    """GAP-BLIND estimator selection: pick the averaging window K that
+    minimizes the combined standard error (sqrt(var_ref/n + var_our/n))
+    summed over metrics in resolution-normalized units.  Uses only the
+    within-side spreads — never the ref-vs-ours gap — so the choice cannot
+    be tuned toward a compatible verdict.  Averaging windows trade
+    final-epoch snapshot oscillation (shrinks with K) against convergence
+    trend contamination (grows with K); the data decides."""
+    best_k, best_cost = 1, None
+    for k in range(1, max_k + 1):
+        rs = reaverage_per_seed(per_seed, keys, k)
+        cost = 0.0
+        for m in keys:
+            rv = np.asarray([r[f"ref_{m}"] for r in rs])
+            ov = np.asarray([r[f"our_{m}"] for r in rs])
+            se = np.sqrt(rv.var(ddof=1) / len(rv) + ov.var(ddof=1) / len(ov))
+            scale = abs(rv.mean()) + 1e-9     # scale-free sum across metrics
+            cost += float(se / scale)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
 def write_dropout_report(a, per_seed, keys, wall_s):
     stats = welch_stats(per_seed, keys, a.rows, avg_k=a.eval_last_k)
     summary = {
@@ -524,6 +570,11 @@ def main():
     p.add_argument("--stats-from", type=str, default=None,
                    help="recompute stats + report from an existing "
                         "ab_dropout_report.json (no training)")
+    p.add_argument("--stats-k", type=str, default=None,
+                   help="with --stats-from on records carrying per-epoch "
+                        "detail: re-average over the last K epochs "
+                        "(integer), or 'auto' to pick K by gap-blind "
+                        "combined-SE minimization (see select_k)")
     a = p.parse_args()
     if a.stats_from:
         with open(a.stats_from) as f:
@@ -534,7 +585,16 @@ def main():
             if k in old:
                 setattr(a, k, old[k])
         keys = ("R1", "R5", "R10", "MRR", "mIoU", "IoU@0.5")
-        return write_dropout_report(a, blob["per_seed"], keys,
+        per_seed = blob["per_seed"]
+        if a.stats_k:
+            window = len(per_seed[0]["ref_per_epoch"][keys[0]])
+            kk = (select_k(per_seed, keys, window) if a.stats_k == "auto"
+                  else int(a.stats_k))
+            per_seed = reaverage_per_seed(per_seed, keys, kk)
+            a.eval_last_k = kk
+            print(f"# stats-k: averaging window K={kk} "
+                  f"({'auto, gap-blind SE minimization' if a.stats_k == 'auto' else 'fixed'})")
+        return write_dropout_report(a, per_seed, keys,
                                     old.get("wall_s", 0.0))
     if a.dropout == "paper":
         return main_dropout(a)
