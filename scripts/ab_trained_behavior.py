@@ -312,7 +312,16 @@ def run_dropout_pair(a, seed: int, dataset, steps_per_epoch: int,
 
 
 def welch_stats(per_seed, keys, rows, avg_k: int = 1):
-    """Welch t comparison per metric with a quantization-resolution floor.
+    """Per-metric two-sample comparison with a quantization-resolution floor.
+
+    PRIMARY analysis: PAIRED t interval on the per-seed differences
+    (our - ref).  The pairing is a property of the experiment design, not
+    of the data: both sides of a record start from the SAME torch init
+    for that seed (run_dropout_pair), so each seed yields one matched
+    (ref, our) pair and the between-seed init/convergence variance
+    cancels in the difference.  SECONDARY (robustness) analysis: Welch's
+    unpaired t, reported alongside — if pairing were spurious (zero
+    cross-side correlation) the two MDEs coincide up to df.
 
     Resolution = the smallest nonzero change one sample can make: R@k and
     IoU@0.5 are percentages over `rows` samples (one rank/threshold flip =
@@ -339,15 +348,52 @@ def welch_stats(per_seed, keys, rows, avg_k: int = 1):
         else:
             df, t95 = float(n_r + n_o - 2), 0.0
         gap = float(abs(rv.mean() - ov.mean()))
-        mde = max(t95 * se, resolution[k])
+        mde_welch = max(t95 * se, resolution[k])
+        # paired: one difference per seed (same-init matched pair)
+        d = ov - rv
+        vd = d.var(ddof=1) / n_r
+        if vd > 0:
+            t95_p = float(sps.t.ppf(0.975, n_r - 1))
+        else:
+            t95_p = 0.0
+        se_p = float(np.sqrt(vd))
+        mde_paired = max(t95_p * se_p, resolution[k])
+        mde = mde_paired
+        if se_p > 0:
+            p_paired = float(2.0 * sps.t.sf(abs(d.mean()) / se_p, n_r - 1))
+        else:
+            p_paired = 1.0 if gap == 0.0 else 0.0
         stats[k] = {
             "ref_mean": float(rv.mean()), "ref_std": float(rv.std(ddof=1)),
             "our_mean": float(ov.mean()), "our_std": float(ov.std(ddof=1)),
             "gap": gap, "se": se, "welch_df": float(df), "t95": t95,
             "ci95_halfwidth": float(t95 * se),
-            "resolution": resolution[k], "mde": float(mde),
+            "paired_se": se_p, "paired_t95": t95_p,
+            "paired_ci95_halfwidth": float(t95_p * se_p),
+            "diff_std": float(d.std(ddof=1)),
+            "pair_corr": (float(np.corrcoef(rv, ov)[0, 1])
+                          if rv.std() > 0 and ov.std() > 0 else 0.0),
+            "resolution": resolution[k],
+            "mde_welch": float(mde_welch), "mde": float(mde),
+            "p_paired": p_paired,
+            "compatible_welch": bool(gap <= mde_welch),
             "compatible": bool(gap <= mde),
         }
+    # Family-wise (Holm) verdict over the metric family: with m correlated
+    # metrics screened at 95% each, ~1-in-4 clean runs trip one metric by
+    # chance; Holm step-down controls the family-wise error at 5% without
+    # assuming independence (valid under arbitrary dependence).
+    items = sorted(stats.items(), key=lambda kv: kv[1]["p_paired"])
+    m = len(items)
+    reject_from = m
+    for i, (_, s) in enumerate(items):
+        if s["p_paired"] <= 0.05 / (m - i):
+            continue
+        reject_from = i
+        break
+    for i, (k, s) in enumerate(items):
+        # resolution floor still applies: a sub-quantum gap is not a finding
+        s["holm_reject"] = bool(i < reject_from and s["gap"] > s["resolution"])
     return stats
 
 
@@ -482,6 +528,8 @@ def write_dropout_report(a, per_seed, keys, wall_s):
         "epochs": a.epochs, "bs": a.bs, "eval_last_k": a.eval_last_k,
         "family_size": a.family_size, "family_delta": a.family_delta,
         "all_compatible": all(s["compatible"] for s in stats.values()),
+        "family_wise_clean": not any(s["holm_reject"]
+                                     for s in stats.values()),
         "wall_s": wall_s,
     }
     with open(os.path.join(a.workdir, "ab_dropout_report.json"), "w") as f:
@@ -501,8 +549,13 @@ def write_dropout_report(a, per_seed, keys, wall_s):
         "X-Pool 0.3, DETR 0.1) from a shared per-seed torch init, each with",
         "its own mask stream (torch RNG vs our seed-tagged PRNG path), on",
         "family-confusable synthetic data hard enough that seed-to-seed",
-        "variance is nonzero on both sides.  Compatibility per metric:",
-        "|mean gap| <= MDE, where MDE = max(t95 x Welch combined SE,",
+        "variance is nonzero on both sides.  Because both sides of a seed",
+        "start from the SAME torch init, the seeds form matched pairs; the",
+        "PRIMARY comparison is therefore a paired t interval on the",
+        "per-seed differences (between-seed init/convergence variance",
+        "cancels), with Welch's unpaired t reported as a robustness",
+        "check.  Compatibility per metric:",
+        "|mean gap| <= MDE, where MDE = max(t95 x paired SE,",
         "metric resolution).  The resolution floor is the measurement's own",
         f"quantum at n={a.rows} rows — one sample flipping moves the",
         f"percentage metrics (R@k, IoU@0.5) by {100.0 / a.rows:.3f} points",
@@ -516,24 +569,30 @@ def write_dropout_report(a, per_seed, keys, wall_s):
         f"metric distributions over {len(per_seed)} seeds per side:",
         "",
         "| metric | reference (mean ± std) | ours (mean ± std) | gap "
-        "| 95% CI ± | MDE | compatible |",
-        "|---|---|---|---|---|---|---|",
+        "| paired 95% CI ± | paired MDE | Welch MDE | pair corr | p (paired) "
+        "| compatible |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for k in keys:
         s = stats[k]
         lines.append(
             f"| {k} | {s['ref_mean']:.3f} ± {s['ref_std']:.3f} "
             f"| {s['our_mean']:.3f} ± {s['our_std']:.3f} "
-            f"| {s['gap']:.3f} | {s['ci95_halfwidth']:.3f} "
-            f"| {s['mde']:.3f} | {'yes' if s['compatible'] else 'NO'} |")
+            f"| {s['gap']:.3f} | {s['paired_ci95_halfwidth']:.3f} "
+            f"| {s['mde']:.3f} | {s['mde_welch']:.3f} "
+            f"| {s['pair_corr']:+.2f} | {s['p_paired']:.3f} "
+            f"| {'yes' if s['compatible'] else 'NO'} |")
     worst = max(stats.values(), key=lambda s: s["mde"] / (abs(s["ref_mean"]) + 1e-9))
+    flagged = [k for k in keys if not stats[k]["compatible"]]
     lines += [
         "",
-        f"All metrics compatible: **{summary['all_compatible']}**. "
-        f"Every gap sits inside its 95% CI + resolution quantum; the largest "
-        f"relative MDE is {worst['mde']:.3f} against a reference mean of "
-        f"{worst['ref_mean']:.3f}, i.e. this comparison would have detected "
-        f"a regression of that size or larger. "
+        f"Per-metric compatible (95%): **{summary['all_compatible']}**"
+        + (f" (flagged: {', '.join(flagged)})" if flagged else "")
+        + f"; family-wise (Holm, 6 metrics at FWER 5%): "
+        f"**{'clean' if summary['family_wise_clean'] else 'REJECTED'}**. "
+        f"The largest relative MDE is {worst['mde']:.3f} against a reference "
+        f"mean of {worst['ref_mean']:.3f}, i.e. this comparison would have "
+        f"detected a regression of that size or larger. "
         f"Wall: {summary['wall_s']:.0f}s.",
         "",
     ]
